@@ -1,0 +1,154 @@
+"""Text kernels: normalization, tokenization, quality, language ID,
+fingerprinting.
+
+The whitespace/code-block kernels mirror the reference extract helpers
+(`normalize` — /root/reference/src/browserlib/extract-dfns.mjs:44-46;
+`trimSpaces` — /root/reference/src/browserlib/trim-spaces.mjs:14-36).
+
+The analysis kernels (tokens / quality / langid / fingerprint) are the
+training-data-pipeline additions. Every one of them is a pure Column
+expression (JVM, whole-stage codegen) designed so an identical ANSI-SQL
+formulation runs on DuckDB for the oracle: no engine-specific hashes, no
+Python UDFs, deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# Reference-parity string kernels
+# ---------------------------------------------------------------------------
+
+
+def normalize_ws_py(s: str) -> str:
+    """trim + collapse whitespace (extract-dfns.mjs:44-46)."""
+    return re.sub(r"\s+", " ", s).strip()
+
+
+def normalize_ws_col(c: Column) -> Column:
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def trim_spaces_py(text: str) -> str:
+    """De-indent code blocks (trim-spaces.mjs:14-36).
+
+    Drops the common leading-space count of lines 2+, rstrips every line,
+    blanks whitespace-only lines.
+    """
+    lines = text.split("\n")
+    indents = [
+        len(line) - len(line.lstrip(" "))
+        for line in lines[1:]
+        if line.strip()
+    ]
+    cut = min(indents) if indents else 0
+    out = [lines[0].rstrip()]
+    for line in lines[1:]:
+        if not line.strip():
+            out.append("")
+        else:
+            out.append(line[cut:].rstrip())
+    return "\n".join(out)
+
+
+@pandas_udf(StringType())
+def trim_spaces_udf(s: pd.Series) -> pd.Series:
+    return s.map(lambda x: trim_spaces_py(x) if x is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# Training-data analysis kernels (Column-only; oracle-portable)
+# ---------------------------------------------------------------------------
+
+# Small fixed stopword lists. Deterministic, shared verbatim with the
+# DuckDB oracle SQL (see reffy_spark/plans/oracle_helpers.py).
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+STOPWORDS_FR = ["le", "la", "de", "et", "les", "des", "un", "une", "est", "que"]
+STOPWORDS_DE = ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty text → empty array."""
+    t = F.trim(text)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, r"\s+")
+    )
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def stopword_count_col(text: Column, stopwords: list[str]) -> Column:
+    arr = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(arr, t)))
+
+
+def stopword_ratio_col(text: Column, stopwords: list[str]) -> Column:
+    n = token_count_col(text)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        stopword_count_col(text, stopwords).cast("double") / n.cast("double")
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic doc-quality in [0,1]: length band + stopword presence +
+    alpha ratio. Mirrors the shape of public web-text quality filters
+    (C4/Gopher-style rules), kept SQL-portable.
+    """
+    n_tok = token_count_col(text).cast("double")
+    n_chars = F.length(text).cast("double")
+    mean_tok_len = F.when(n_tok == 0, F.lit(0.0)).otherwise(n_chars / n_tok)
+    sw = stopword_ratio_col(text, STOPWORDS_EN)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    tok_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    sw_ok = F.when(sw >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + tok_ok + sw_ok) / F.lit(3.0), 6)
+
+
+def lang_id_col(text: Column) -> Column:
+    """Stopword-vote language ID over {en, fr, de}; 'und' when no votes."""
+    en = stopword_count_col(text, STOPWORDS_EN)
+    fr = stopword_count_col(text, STOPWORDS_FR)
+    de = stopword_count_col(text, STOPWORDS_DE)
+    return (
+        F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+
+
+FP_MOD = 1_000_000_007
+FP_MULT = 131
+
+
+def token_code_col(tok: Column) -> Column:
+    """Portable per-token integer code: ascii(first char)*256 + min(len,255).
+
+    Chosen because ``ascii``/``length`` exist with identical semantics in
+    Spark SQL and DuckDB — no engine-specific hash functions.
+    """
+    return (F.ascii(tok) * F.lit(256) + F.least(F.length(tok), F.lit(255))).cast("long")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Order-sensitive rolling-hash document fingerprint.
+
+    acc = (acc * 131 + code(token)) mod 1e9+7, over whitespace tokens.
+    """
+    codes = F.transform(tokens_col(text), token_code_col)
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(FP_MULT) + x) % F.lit(FP_MOD),
+    )

@@ -1,0 +1,284 @@
+"""Minimal HTML DOM for the extraction UDFs.
+
+The container has no lxml/selectolax, so we parse with the stdlib
+``html.parser`` into a lightweight element tree supporting exactly the
+query surface the reference extractors use (catalogued in SURVEY.md §2):
+tag / id / class / attribute selectors, descendant and child combinators,
+comma lists, ``closest``, ``textContent``, and document-order positions.
+
+This module runs *inside* Arrow-batched pandas UDFs — one parse per page,
+never shipped between stages (SURVEY.md §1.1 "Page DOM").
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+# Elements whose open tag implicitly closes a same-tag ancestor (subset
+# sufficient for spec-style HTML).
+_AUTOCLOSE_SIBLING = frozenset("li dt dd tr td th option p".split())
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent", "pos", "_text_parts")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None", pos: int):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Element | str] = []
+        self.parent = parent
+        self.pos = pos  # document order (open-tag index)
+        self._text_parts = None
+
+    # -- tree --------------------------------------------------------------
+    def iter(self):
+        """Depth-first pre-order over descendant elements (self excluded)."""
+        stack = [c for c in reversed(self.children) if isinstance(c, Element)]
+        while stack:
+            el = stack.pop()
+            yield el
+            stack.extend(c for c in reversed(el.children) if isinstance(c, Element))
+
+    def child_elements(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def ancestors(self):
+        p = self.parent
+        while p is not None:
+            yield p
+            p = p.parent
+
+    # -- attributes ---------------------------------------------------------
+    def get(self, name: str, default: str | None = None) -> str | None:
+        return self.attrs.get(name, default)
+
+    @property
+    def id(self) -> str | None:
+        return self.attrs.get("id")
+
+    @property
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    def has_class(self, name: str) -> bool:
+        return name in self.classes
+
+    # -- text ---------------------------------------------------------------
+    @property
+    def text(self) -> str:
+        """textContent: concatenated text of all descendants."""
+        parts: list[str] = []
+        stack: list[Element | str] = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                parts.append(node)
+            elif node.tag not in ("script", "style"):
+                stack.extend(reversed(node.children))
+        return "".join(parts)
+
+    # -- selectors ------------------------------------------------------------
+    def matches(self, selector: str) -> bool:
+        return any(
+            _matches_compound(self, compound[-1])
+            and _matches_combinators(self, compound)
+            for compound in _parse_selector(selector)
+        )
+
+    def closest(self, selector: str) -> "Element | None":
+        node: Element | None = self
+        while node is not None:
+            if node.tag != "#root" and node.matches(selector):
+                return node
+            node = node.parent
+        return None
+
+    def query_all(self, selector: str) -> list["Element"]:
+        compounds = _parse_selector(selector)
+        out = []
+        for el in self.iter():
+            for compound in compounds:
+                if _matches_compound(el, compound[-1]) and _matches_combinators(el, compound):
+                    out.append(el)
+                    break
+        return out
+
+    def query(self, selector: str) -> "Element | None":
+        res = self.query_all(selector)
+        return res[0] if res else None
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{self.tag} id={self.attrs.get('id')!r} pos={self.pos}>"
+
+
+# ---------------------------------------------------------------------------
+# Selector machinery: compound = (simple, combinator, simple, ...) reversed
+# ---------------------------------------------------------------------------
+
+_SIMPLE_RE = re.compile(
+    r"(?P<tag>[a-zA-Z][a-zA-Z0-9-]*|\*)?"
+    r"(?P<rest>(?:[.#][\w-]+|\[[^\]]+\])*)"
+)
+_PART_RE = re.compile(r"([.#][\w-]+|\[[^\]]+\])")
+
+
+def _parse_simple(s: str):
+    m = _SIMPLE_RE.fullmatch(s.strip())
+    if not m:
+        raise ValueError(f"unsupported selector: {s!r}")
+    tag = m.group("tag")
+    conds = []
+    for part in _PART_RE.findall(m.group("rest") or ""):
+        if part.startswith("."):
+            conds.append(("class", part[1:], None))
+        elif part.startswith("#"):
+            conds.append(("id", part[1:], None))
+        else:  # [attr] or [attr=val] or [attr^=val]
+            body = part[1:-1]
+            if "^=" in body:
+                k, v = body.split("^=", 1)
+                conds.append(("attr^", k.strip(), v.strip().strip("\"'")))
+            elif "=" in body:
+                k, v = body.split("=", 1)
+                conds.append(("attr", k.strip(), v.strip().strip("\"'")))
+            else:
+                conds.append(("hasattr", body.strip(), None))
+    return (tag.lower() if tag and tag != "*" else None, tuple(conds))
+
+
+def _parse_selector(selector: str):
+    """Parse comma list of 'a > b c' chains into a list of compounds.
+
+    Each compound is a list [(comb, simple), ...] leaf-last, where comb is
+    ' ' (descendant) or '>' (child); the first entry's comb is None.
+    """
+    compounds = []
+    for alt in selector.split(","):
+        tokens = re.split(r"\s*(>)\s*|\s+", alt.strip())
+        chain = []
+        comb = None
+        for tok in tokens:
+            if tok is None or tok == "":
+                continue
+            if tok == ">":
+                comb = ">"
+                continue
+            chain.append((comb, _parse_simple(tok)))
+            comb = " "
+        if chain:
+            compounds.append(chain)
+    return compounds
+
+
+def _matches_simple(el: Element, simple) -> bool:
+    tag, conds = simple
+    if tag is not None and el.tag != tag:
+        return False
+    for kind, k, v in conds:
+        if kind == "class":
+            if k not in el.classes:
+                return False
+        elif kind == "id":
+            if el.attrs.get("id") != k:
+                return False
+        elif kind == "hasattr":
+            if k not in el.attrs:
+                return False
+        elif kind == "attr":
+            if el.attrs.get(k) != v:
+                return False
+        elif kind == "attr^":
+            if not (el.attrs.get(k) or "").startswith(v):
+                return False
+    return True
+
+
+def _matches_compound(el: Element, leaf) -> bool:
+    return _matches_simple(el, leaf[1])
+
+
+def _matches_combinators(el: Element, chain) -> bool:
+    """Check the ancestor part of the chain (all but the leaf)."""
+    node = el
+    for i in range(len(chain) - 2, -1, -1):
+        comb_of_next = chain[i + 1][0]  # combinator between chain[i] and chain[i+1]
+        simple = chain[i][1]
+        if comb_of_next == ">":
+            node = node.parent
+            if node is None or node.tag == "#root" or not _matches_simple(node, simple):
+                return False
+        else:  # descendant
+            node = node.parent
+            while node is not None and node.tag != "#root":
+                if _matches_simple(node, simple):
+                    break
+                node = node.parent
+            else:
+                return False
+    return True
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("#root", {}, None, -1)
+        self.stack = [self.root]
+        self.counter = 0
+
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        top = self.stack[-1]
+        if tag in _AUTOCLOSE_SIBLING and top.tag == tag:
+            self.stack.pop()
+        elif tag in ("td", "th") and top.tag in ("td", "th"):
+            self.stack.pop()
+        elif tag == "tr" and top.tag in ("td", "th"):
+            self.stack.pop()
+            if self.stack[-1].tag == "tr":
+                self.stack.pop()
+        el = Element(tag, {k.lower(): (v if v is not None else "") for k, v in attrs},
+                     self.stack[-1], self.counter)
+        self.counter += 1
+        self.stack[-1].children.append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag, attrs):
+        tag = tag.lower()
+        el = Element(tag, {k.lower(): (v if v is not None else "") for k, v in attrs},
+                     self.stack[-1], self.counter)
+        self.counter += 1
+        self.stack[-1].children.append(el)
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # stray end tag: ignore
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str | bytes) -> Element:
+    """Parse HTML into an element tree; returns the #root pseudo-element."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
