@@ -1,0 +1,103 @@
+"""Extraction framework: one DOM parse per page, all modules in that pass.
+
+Mirrors the reference's module model (registry
+/root/reference/src/browserlib/reffy.json:1-85, uniform invocation
+``res[mod.property] = window.reffy[mod.name](spec, idToHeading)`` at
+/root/reference/src/lib/specs-crawler.js:109-121): modules share a single
+parsed DOM and the ``idToHeading`` common sub-stage is computed at most
+once per page (CSE by construction — SURVEY.md §4).
+
+Spark-side, the whole suite is ONE ``mapInPandas`` stage over Arrow
+batches of ``(url, html)``: no per-row Python UDFs at the Spark level, no
+DOM ever crosses a stage boundary. Output is one JSON-string column per
+module; downstream relational views parse them JVM-side with
+``from_json`` + explicit schemas (see reffy_spark.plans.views).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from reffy_spark.extractors import modules as _m
+from reffy_spark.html.dom import Element, parse_html
+
+# module name -> (needs_id_to_heading, fn(ctx) -> JSON-serializable)
+MODULES: dict[str, tuple[bool, Callable]] = {
+    "title": (False, _m.get_title),
+    "generator": (False, _m.get_generator),
+    "date": (False, _m.get_date),
+    "revision": (False, _m.get_revision),
+    "headings": (True, _m.extract_headings),
+    "ids": (True, _m.extract_ids),
+    "links": (False, _m.extract_links),
+    "dfns": (True, _m.extract_dfns),
+    "refs": (False, _m.extract_refs),
+    "idl": (False, _m.extract_webidl),
+    "cddl": (False, _m.extract_cddl),
+    "elements": (False, _m.extract_elements),
+    "events": (False, _m.extract_events),
+    "algorithms": (False, _m.extract_algorithms),
+}
+
+CORE_MODULES = list(MODULES)
+
+
+class ExtractContext:
+    """Per-page extraction context (one DOM parse, shared sub-stages)."""
+
+    def __init__(self, root: Element, url: str):
+        self.root = root
+        self.url = url
+        # single page unless the fixture merged multipage sections
+        self.single_page = root.query("[data-reffy-page]") is None
+        self._id_to_heading: dict | None = None
+
+    @property
+    def id_to_heading(self) -> dict:
+        if self._id_to_heading is None:
+            self._id_to_heading = _m.map_ids_to_headings(self)
+        return self._id_to_heading
+
+
+def extract_page(html: str | bytes, url: str, modules: list[str] | None = None) -> dict:
+    """Run the requested modules over one page; returns {module: value}."""
+    modules = modules or CORE_MODULES
+    ctx = ExtractContext(parse_html(html), url)
+    out = {}
+    for name in modules:
+        _needs, fn = MODULES[name]
+        out[name] = fn(ctx)
+    return out
+
+
+def extract_all(
+    pages: DataFrame,
+    modules: list[str] | None = None,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Distributed extraction: Arrow-batched, one parse per page.
+
+    Returns ``url`` plus one JSON-string column per module. Column pruning
+    upstream is automatic (only ``url`` and ``html`` are read from the
+    scan); module gating is explicit (``--terse`` analog — SURVEY.md §4).
+    """
+    modules = modules or CORE_MODULES
+    schema = "url string, " + ", ".join(f"{m} string" for m in modules)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            recs = []
+            for url, html in zip(b[url_col], b[html_col]):
+                res = extract_page(html, url, modules)
+                row = {"url": url}
+                for m in modules:
+                    row[m] = json.dumps(res[m], ensure_ascii=False, sort_keys=False)
+                recs.append(row)
+            yield pd.DataFrame(recs, columns=["url"] + modules)
+
+    return pages.select(url_col, html_col).mapInPandas(run, schema)

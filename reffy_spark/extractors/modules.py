@@ -1,0 +1,849 @@
+"""Extraction modules, reimplemented from the reference's browserlib.
+
+Each function takes an ``ExtractContext`` (parsed DOM + url + shared
+``idToHeading``) and returns a JSON-serializable value whose shape matches
+the reference's JSON Schemas (/root/reference/schemas/browserlib/*).
+
+Reference citations are given per function. These are reimplementations
+against static pre-rendered HTML (the fixture corpus is generated
+post-render — SURVEY.md §7.3); live-DOM-only behaviors (``window.eval``
+respecConfig sniffing, ReSpec re-rendering) are intentionally out of scope
+and documented where relevant.
+"""
+
+from __future__ import annotations
+
+import re
+
+from reffy_spark.functions.text import normalize_ws_py as normalize
+from reffy_spark.functions.text import trim_spaces_py
+from reffy_spark.functions.urls import encode_uri_component
+from reffy_spark.html.dom import Element
+
+# ---------------------------------------------------------------------------
+# Shared helpers
+# ---------------------------------------------------------------------------
+
+# /root/reference/src/browserlib/informative-selector.mjs:8-25
+INFORMATIVE_SELECTOR = (
+    ".informative, .informative-bg, .note, .issue, .example, .ednote, "
+    ".annotation, .practice, .introductory, .non-normative, aside, "
+    ".idlHeader, [id^=dfn-panel-], .mdn-anno, .wpt-tests-block, "
+    "details.respec-tests-details"
+)
+
+_ASIDE_SELECTOR = "aside, .mdn-anno, .wpt-tests-block, .annotation"
+
+
+def is_informative(el: Element) -> bool:
+    return el.closest(INFORMATIVE_SELECTOR) is not None
+
+
+def clean_text(el: Element, drop_selector: str = _ASIDE_SELECTOR) -> str:
+    """textContent excluding subtrees matching ``drop_selector``
+    (clone-and-clean.mjs / getCleanTextContent behavior)."""
+    parts: list[str] = []
+    stack: list[Element | str] = list(reversed(el.children))
+    while stack:
+        node = stack.pop()
+        if isinstance(node, str):
+            parts.append(node)
+        elif node.tag in ("script", "style"):
+            continue
+        elif node.matches(drop_selector):
+            continue
+        else:
+            stack.extend(reversed(node.children))
+    return "".join(parts)
+
+
+def get_absolute_url(el: Element, ctx, attribute: str = "id") -> str:
+    """Absolute URL with encoded fragment for a node
+    (get-absolute-url.mjs:13-29)."""
+    page = None
+    if not ctx.single_page:
+        anc = el.closest("[data-reffy-page]")
+        if anc is not None:
+            page = anc.get("data-reffy-page")
+    base = (page or ctx.url).split("#")[0]
+    value = el.get(attribute) or ""
+    if attribute == "href" and value.startswith("#"):
+        value = value[1:]
+    if value:
+        return f"{base}#{encode_uri_component(value)}"
+    return page or ctx.url
+
+
+def next_tag(node: Element, name: str, until: Element | None = None) -> Element | None:
+    """Next sibling matching ``name`` ('heading' matches h1-h6/hgroup)
+    (extract-references.mjs:67-84)."""
+    selector = "h1,h2,h3,h4,h5,h6,hgroup" if name == "heading" else name
+    nxt = node.next_element_sibling
+    while nxt is not None and nxt is not until and not nxt.matches(selector):
+        nxt = nxt.next_element_sibling
+    return None if nxt is until else nxt
+
+
+# Heading numbering (map-ids-to-headings.mjs:11)
+RE_NUMBER = re.compile(
+    r"^([A-Z\d]\.|[A-Z](\.\d+)+\.?|\d+(\.\d+)+\.?|\d|Appendix [A-Z][.:])\s"
+)
+
+_HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
+
+
+# ---------------------------------------------------------------------------
+# idToHeading (shared sub-stage)
+# ---------------------------------------------------------------------------
+
+
+def map_ids_to_headings(ctx) -> dict:
+    """Map element href → enclosing section's heading record.
+
+    Simplified outline: the conceptual section of a node is the nearest
+    heading (h1-h6 with an id, or holding an <a name>) that precedes it in
+    document order at any level. The reference runs the full HTML outline
+    algorithm (map-ids-to-headings.mjs:48-173, create-outline.mjs); for
+    flat spec documents the two agree. TODO(parity): full outline for
+    documents with out-of-order sectioning roots.
+    """
+    root = ctx.root
+    # collect headings in document order
+    headings: list[tuple[int, dict]] = []
+    for el in root.iter():
+        if el.tag in _HEADING_TAGS:
+            hid = el.id
+            anchor = el.query("a[name]")
+            ids = []
+            href = None
+            if anchor is not None:
+                ids.append(anchor.get("name"))
+                href = get_absolute_url(anchor, ctx, attribute="name")
+            if hid:
+                ids.append(hid)
+                href = get_absolute_url(el, ctx)
+            if not ids:
+                continue
+            text = normalize(clean_text(el))
+            m = RE_NUMBER.match(text)
+            number = m.group(1) if m else None
+            rec: dict = {"id": ids[-1]}
+            rec["href"] = href
+            rec["title"] = RE_NUMBER.sub("", text, count=1) if m else text
+            if len(ids) > 1:
+                rec["alternateIds"] = ids[:-1]
+            if number:
+                rec["number"] = re.sub(r"^Appendix ", "", re.sub(r"[.:]$", "", number))
+            headings.append((el.pos, rec))
+
+    mapping: dict[str, dict] = {}
+    if not headings:
+        return mapping
+    positions = [p for p, _ in headings]
+    for el in root.iter():
+        for attr in ("id", "name"):
+            val = el.get(attr)
+            if not val:
+                continue
+            # nearest heading at or before el.pos
+            import bisect
+
+            i = bisect.bisect_right(positions, el.pos) - 1
+            if i < 0:
+                continue
+            nodeid = get_absolute_url(el, ctx, attribute=attr)
+            mapping[nodeid] = headings[i][1]
+            break
+    return mapping
+
+
+# ---------------------------------------------------------------------------
+# Metadata modules
+# ---------------------------------------------------------------------------
+
+
+def get_title(ctx) -> str:
+    """get-title.mjs:4-15."""
+    title = ctx.root.query("title")
+    if title is not None:
+        return normalize(title.text)
+    return f"[No title found for {ctx.url}]"
+
+
+def get_generator(ctx) -> str | None:
+    """get-generator.mjs:13-27 (static heuristics only: no window.eval —
+    respecConfig-global sniffing needs a live page; parity caveat in
+    SURVEY.md §7.3)."""
+    meta = ctx.root.query("meta[name=generator]")
+    content = meta.get("content", "") if meta is not None else ""
+    if meta is not None and re.search(r"bikeshed", content, re.I):
+        return "bikeshed"
+    body = ctx.root.query("body")
+    if (meta is not None and re.search(r"respec", content, re.I)) or (
+        body is not None and body.id == "respecDocument"
+    ):
+        return "respec"
+    return None
+
+
+def get_date(ctx) -> str | None:
+    """get-lastmodified-date.mjs:1-14; the document.lastModified fallback
+    is not reachable for static fixtures (no HTTP date), so returns None
+    when the page carries no date markup."""
+    date_el = ctx.root.query(".head time")
+    if date_el is not None:
+        return date_el.text.strip()
+    h2s = ctx.root.query_all(".head h2")
+    status = " ".join(h.text for h in h2s).strip()
+    if status:
+        return " ".join(status.split()[-3:])
+    return None
+
+
+def get_revision(ctx) -> str | None:
+    """get-revision.mjs:1-12."""
+    meta = ctx.root.query("meta[name=document-revision], meta[name=revision]")
+    rev = (meta.get("content") or "").strip() if meta is not None else ""
+    if re.search(r"[0-9a-f]{40}", rev):
+        return rev
+    return None
+
+
+# ---------------------------------------------------------------------------
+# headings / ids / links
+# ---------------------------------------------------------------------------
+
+
+def extract_headings(ctx) -> list[dict]:
+    """extract-headings.mjs (regular + CSS2.1 <a name> forms; the
+    EcmaScript emu-clause and RFC-editor span forms are also handled)."""
+    out = []
+    id_to_heading = ctx.id_to_heading
+
+    # EcmaScript emu-clause[id] > h1 (extract-headings.mjs:10-22)
+    for n in ctx.root.query_all("emu-clause[id] > h1"):
+        secnum = n.query(".secnum")
+        number = secnum.text if secnum is not None else None
+        level = len(number.split(".")) if number else None
+        title = n.text.replace(number, "").strip() if number else n.text.strip()
+        rec = {
+            "id": n.parent.id,
+            "href": get_absolute_url(n.parent, ctx),
+            "title": title,
+        }
+        if level:
+            rec["level"] = level
+        if number:
+            rec["number"] = number
+        out.append(rec)
+
+    # RFC-editor spans (extract-headings.mjs:24-40)
+    for n in ctx.root.query_all(
+        "pre > span.h2 > a.selflink[id], pre > span.h3 > a.selflink[id], "
+        "pre > span.h4 > a.selflink[id], pre > span.h5 > a.selflink[id], "
+        "pre > span.h6 > a.selflink[id]"
+    ):
+        number = n.text
+        level = len(number.split(".")) if number else None
+        title = n.parent.text
+        if number:
+            title = title.replace(number, "")
+        title = re.sub(r"^\s*\.", "", title).strip()
+        rec = {"id": n.id, "href": get_absolute_url(n, ctx), "title": title}
+        if level:
+            rec["level"] = level
+        if number:
+            rec["number"] = re.sub(r"\s*appendix\s+", "", number, flags=re.I)
+        out.append(rec)
+
+    # Regular headings + CSS 2.1 <a name> (extract-headings.mjs:42-77)
+    for n in ctx.root.query_all(
+        "h1[id], h2[id], h3[id], h4[id], h5[id], h6[id]"
+    ) + [
+        a
+        for a in ctx.root.query_all(
+            "h1 > a[name], h2 > a[name], h3 > a[name], "
+            "h4 > a[name], h5 > a[name], h6 > a[name]"
+        )
+        if a.parent.id is None
+    ]:
+        id_attr = "id" if n.id else "name"
+        heading_el = n if n.id else n.parent
+        if heading_el.tag not in _HEADING_TAGS:
+            continue
+        href = get_absolute_url(n, ctx, attribute=id_attr)
+        heading = id_to_heading.get(href) or {
+            "id": n.get(id_attr),
+            "href": href,
+            "title": n.text.strip(),
+        }
+        rec = {
+            "id": heading["id"],
+            "href": heading["href"],
+            "level": int(heading_el.tag[1]),
+            "title": heading["title"],
+        }
+        if heading.get("alternateIds"):
+            rec["alternateIds"] = heading["alternateIds"]
+        if heading.get("number"):
+            rec["number"] = heading["number"]
+        out.append(rec)
+    return out
+
+
+def extract_ids(ctx) -> list[str]:
+    """extract-ids.mjs:6-28 (respec-/dfn-panel- filters = P7)."""
+    out = []
+    for n in ctx.root.iter():
+        nid = n.id
+        if nid and not nid.startswith("respec-") and not nid.startswith("dfn-panel-"):
+            out.append(get_absolute_url(n, ctx))
+    for n in ctx.root.query_all("a[name]"):
+        if not n.id or n.id != n.get("name"):
+            out.append(get_absolute_url(n, ctx, attribute="name"))
+    return out
+
+
+def extract_links(ctx) -> dict:
+    """extract-links.mjs:19-45: absolute links grouped by page URL with
+    fragment sets, split rawlinks/autolinks on data-link-type/data-xref-type.
+    Links under .head, del, .dfn-panel ignored (P8)."""
+    rawlinks: dict[str, set] = {}
+    autolinks: dict[str, set] = {}
+    for n in ctx.root.query_all("a[href^=http]"):
+        if n.closest(".head, del, .dfn-panel") is not None:
+            continue
+        href = n.get("href") or ""
+        page_url = href.split("#")[0]
+        is_auto = n.get("data-link-type") is not None or n.get("data-xref-type") is not None
+        links = autolinks if is_auto else rawlinks
+        anchors = links.setdefault(page_url, set())
+        if "#" in href and href.split("#", 1)[1]:
+            anchors.add(href.split("#", 1)[1])
+
+    def to_obj(links: dict[str, set]) -> dict:
+        out = {}
+        for u in sorted(links):
+            out[u] = {}
+            if links[u]:
+                out[u]["anchors"] = sorted(links[u])
+        return out
+
+    # NOTE: the reference keeps Set insertion order for anchors; we sort
+    # for determinism (relational downstream sorts anyway — A1 uses
+    # sort_array over collect_set).
+    return {"rawlinks": to_obj(rawlinks), "autolinks": to_obj(autolinks)}
+
+
+# ---------------------------------------------------------------------------
+# dfns
+# ---------------------------------------------------------------------------
+
+# extract-dfns.mjs:51-110
+VALID_DFN_TYPES = frozenset(
+    """property descriptor value type at-rule function selector namespace
+    interface constructor method argument attribute callback dictionary
+    dict-member enum enum-value exception const typedef stringifier
+    serializer iterator maplike setlike extended-attribute event permission
+    element element-state element-attr attr-value cddl-module cddl-type
+    cddl-parameter cddl-key cddl-value scheme http-header grammar
+    abstract-op dfn""".split()
+)
+
+_FOR_SPLIT_RE = re.compile(r",(?![^(]*\))")
+
+
+def _definition_mapper(el: Element, ctx, uses_dfn_data_model: bool) -> dict:
+    """extract-dfns.mjs:178-299 (definitionMapper), minus htmlProse."""
+    defined_in = "prose"
+    enclosing = el.closest("dt,pre,table,h1,h2,h3,h4,h5,h6,.note,.example") or el
+    if enclosing.tag in ("dt", "pre", "table"):
+        defined_in = enclosing.tag
+    elif enclosing.tag in _HEADING_TAGS:
+        defined_in = "heading"
+    elif enclosing.has_class("note"):
+        defined_in = "note"
+    elif enclosing.has_class("example"):
+        defined_in = "example"
+
+    if el.get("data-lt") is not None:
+        linking_text = [normalize(t) for t in el.get("data-lt").split("|")]
+    elif el.query(".secno") is not None:
+        linking_text = [normalize(clean_text(el, drop_selector=".secno"))]
+    else:
+        linking_text = [normalize(el.text)]
+
+    href = get_absolute_url(el, ctx)
+    dfn_type = el.get("data-dfn-type") or "dfn"
+    access = (
+        "public"
+        if (
+            not uses_dfn_data_model
+            or el.get("data-export") is not None
+            or (
+                el.get("data-noexport") is None
+                and el.get("data-dfn-type") is not None
+                and dfn_type != "dfn"
+                and not dfn_type.startswith("cddl-")
+            )
+        )
+        else "private"
+    )
+    page_anc = el.closest("[data-reffy-page]") if not ctx.single_page else None
+    page_url = page_anc.get("data-reffy-page") if page_anc is not None else ctx.url
+    return {
+        "id": el.id,
+        "href": href,
+        "linkingText": linking_text,
+        "localLinkingText": (
+            [normalize(t) for t in el.get("data-local-lt").split("|")]
+            if el.get("data-local-lt")
+            else []
+        ),
+        "type": dfn_type,
+        "for": (
+            [normalize(t) for t in _FOR_SPLIT_RE.split(el.get("data-dfn-for"))]
+            if el.get("data-dfn-for")
+            else []
+        ),
+        "access": access,
+        "informative": is_informative(el),
+        "heading": ctx.id_to_heading.get(href)
+        or {"href": page_url, "title": get_title(ctx)},
+        "definedIn": defined_in,
+        "links": [],
+    }
+
+
+def extract_dfns(ctx) -> list[dict]:
+    """extract-dfns.mjs:300-414 (core path; the spec-specific
+    preprocessors for CSS2/HTML/ecmascript/SVG2/rfc8610/webgl1 are
+    out-of-scope flagged variants — SURVEY.md §7.1 step 5)."""
+    candidates = []
+    for el in ctx.root.query_all("dfn[id]"):
+        if el.get("data-lt") == "":
+            continue
+        candidates.append(el)
+    for el in ctx.root.query_all("h2[id], h3[id], h4[id], h5[id], h6[id]"):
+        if el.get("data-lt") == "":
+            continue
+        if any(
+            el.get(a) is not None
+            for a in ("data-dfn-type", "data-dfn-for", "data-export", "data-noexport", "data-lt")
+        ):
+            candidates.append(el)
+    candidates.sort(key=lambda e: e.pos)
+
+    uses_dfn_data_model = any(
+        any(
+            el.get(a) is not None
+            for a in ("data-dfn-type", "data-dfn-for", "data-export", "data-noexport")
+        )
+        for el in candidates
+    )
+
+    definitions: list[dict] = []
+    for el in candidates:
+        # invalid-type filter (P3)
+        dfn_type = el.get("data-dfn-type") or "dfn"
+        if dfn_type not in VALID_DFN_TYPES:
+            continue
+        # excluded/deleted filter (P4)
+        if el.closest(".exclude,del") is not None:
+            continue
+        # imported-definition filter (P5)
+        link = el.query("a[href^=http]") or el.closest("a[href^=http]")
+        if link is not None:
+            if el.text.strip() == link.text.strip() and link.get("href") != (
+                "https://www.w3.org/TR/CSS2/syndata.html#vendor-keywords"
+            ):
+                continue
+        dfn = _definition_mapper(el, ctx, uses_dfn_data_model)
+        # first-wins dedupe (A6, extract-dfns.mjs:122-134)
+        dup = any(
+            d["access"] == "public"
+            and dfn["access"] == "public"
+            and d["type"] == dfn["type"]
+            and sorted(d["linkingText"]) == sorted(dfn["linkingText"])
+            and sorted(d["for"]) == sorted(dfn["for"])
+            for d in definitions
+        )
+        if not dup:
+            definitions.append(dfn)
+
+    # dev-anchor join (J4, extract-dfns.mjs:387-414)
+    for node in ctx.root.query_all(".domintro dt a[id]"):
+        dt = node.closest("dt")
+        if dt is None or dt.query("dfn") is not None:
+            continue
+        dfn_href = get_absolute_url(node, ctx, attribute="href")
+        target = next((d for d in definitions if d["href"] == dfn_href), None)
+        if target is not None:
+            href = get_absolute_url(node, ctx)
+            target["links"].append(
+                {
+                    "type": "dev",
+                    "id": node.id,
+                    "name": normalize(dt.text),
+                    "href": href,
+                    "heading": ctx.id_to_heading.get(href)
+                    or {"href": ctx.url, "title": get_title(ctx)},
+                }
+            )
+    return definitions
+
+
+# ---------------------------------------------------------------------------
+# refs
+# ---------------------------------------------------------------------------
+
+
+def _parse_reference_list(ref_list: Element, filter_informative: bool = False):
+    """extract-references.mjs:96-148 (dl and ul forms)."""
+    default_refs: list[dict] = []
+    informative_refs: list[dict] = []
+    if ref_list.tag == "dl":
+        for dt in ref_list.child_elements():
+            if dt.tag != "dt":
+                continue
+            name = re.sub(r"[\[\] \n]", "", dt.text)
+            dd = next_tag(dt, "dd")
+            if dd is None or not name:
+                continue
+            ref: dict = {"name": name}
+            a = next(
+                (x for x in dd.query_all("a[href]") if "://" in (x.get("href") or "")),
+                None,
+            )
+            if a is not None:
+                ref["url"] = a.get("href")
+            if filter_informative and re.search(r"non-normative", dd.text, re.I):
+                informative_refs.append(ref)
+            else:
+                default_refs.append(ref)
+    elif ref_list.tag == "ul":
+        for li in ref_list.child_elements():
+            if li.tag != "li":
+                continue
+            a = li.query("a[href]")
+            if a is not None and a.closest("ul") is not li.closest("ul"):
+                a = None  # drop anchors inside nested lists
+            if a is not None:
+                default_refs.append(
+                    {"name": a.text.strip(), "url": a.get("href")}
+                )
+            else:
+                default_refs.append({"name": clean_text(li, "ul").strip()})
+    return default_refs, informative_refs
+
+
+def extract_refs(ctx) -> dict | None:
+    """extract-references.mjs:19-29 + rule/heading fallbacks."""
+    generator = get_generator(ctx)
+    refs = {"normative": [], "informative": []}
+    rules = {
+        "bikeshed": ("#normative + dl", "#informative + dl"),
+        "respec": ("#normative-references > dl", "#informative-references > dl"),
+    }.get(generator or "")
+    if rules:
+        for key, sel in zip(("normative", "informative"), rules):
+            # 'X + dl': adjacent sibling — emulate with next_tag from the id
+            if " + dl" in sel:
+                anchor = ctx.root.query(sel.split(" + ")[0])
+                lst = anchor.next_element_sibling if anchor is not None else None
+                lst = lst if lst is not None and lst.tag == "dl" else None
+            else:
+                parent = ctx.root.query(sel.split(" > ")[0])
+                lst = (
+                    next((c for c in parent.child_elements() if c.tag == "dl"), None)
+                    if parent is not None
+                    else None
+                )
+            if lst is not None:
+                refs[key] = _parse_reference_list(lst)[0]
+    if not refs["normative"] and not refs["informative"]:
+        refs = _extract_refs_without_rules(ctx)
+    if refs and (refs["normative"] or refs["informative"]):
+        return refs
+    return None
+
+
+def _extract_refs_without_rules(ctx) -> dict:
+    """extract-references.mjs:160-268 (heading-based fallback)."""
+    refs = {"normative": [], "informative": []}
+    anchors = ctx.root.query_all("h1, h2, h3")
+
+    def find_last(pattern):
+        out = None
+        for h in anchors:
+            if re.search(pattern, h.text, re.I):
+                out = h
+        return out
+
+    normative = find_last(r"^\s*((\w|\d+)(\.\d+)*\.?)?\s*normative\s+references\s*$")
+    if normative is not None:
+        nh = next_tag(normative, "heading")
+        lst = next_tag(normative, "dl", nh) or next_tag(normative, "ul", nh)
+        if lst is not None:
+            refs["normative"] = _parse_reference_list(lst)[0]
+    informative = find_last(
+        r"^\s*((\w|\d+)(\.\d+)*\.?)?\s*(informative|non-normative)\s+references\s*$"
+    )
+    if informative is not None:
+        nh = next_tag(informative, "heading")
+        lst = next_tag(informative, "dl", nh) or next_tag(informative, "ul", nh)
+        if lst is not None:
+            refs["informative"] = _parse_reference_list(lst)[0]
+    if normative is not None or informative is not None:
+        return refs
+
+    ref_heading = find_last(r"references")
+    if ref_heading is not None:
+        next_section = next_tag(ref_heading, ref_heading.tag)
+        lst = next_tag(ref_heading, "dl", next_section) or next_tag(
+            ref_heading, "ul", next_section
+        )
+        if lst is not None:
+            norm, inf = _parse_reference_list(lst, filter_informative=True)
+            refs["normative"] = norm
+            refs["informative"] = inf
+    return refs
+
+
+# ---------------------------------------------------------------------------
+# idl / cddl / elements
+# ---------------------------------------------------------------------------
+
+
+def _get_code_elements(ctx, selectors: list[str], exclude_selectors: list[str]):
+    """get-code-elements.mjs: document-order code blocks, skipping excluded
+    ancestors and informative sections."""
+    seen = set()
+    out = []
+    for sel in selectors:
+        for el in ctx.root.query_all(sel):
+            if id(el) in seen:
+                continue
+            seen.add(id(el))
+            out.append(el)
+    out.sort(key=lambda e: e.pos)
+    res = []
+    for el in out:
+        if exclude_selectors and el.closest(", ".join(exclude_selectors)) is not None:
+            continue
+        if is_informative(el):
+            continue
+        res.append(el)
+    return res
+
+
+def _has_excluded_class(el: Element) -> bool:
+    return el.has_class("exclude") or el.has_class("extract")
+
+
+def extract_webidl(ctx) -> str:
+    """extract-webidl.mjs:13-95."""
+    generator = get_generator(ctx)
+    idl = ""
+    title = get_title(ctx)
+    if generator == "bikeshed":
+        heading = ctx.root.query("#idl-index")
+        if heading is not None:
+            nxt = heading.next_element_sibling
+            idl = clean_text(nxt, INFORMATIVE_SELECTOR) if nxt is not None else ""
+        else:
+            idl = _extract_respec_idl(ctx)
+    elif title.startswith("Web IDL"):
+        idl = ""
+    else:
+        idl = _extract_respec_idl(ctx)
+    if idl:
+        idl = re.sub(r"[ \t\r\f\v]+$", "", idl, flags=re.M)
+        idl = re.sub(r"\s+$", "\n", idl)
+        idl = idl.replace("\t", "  ").strip()
+    return idl
+
+
+def _extract_respec_idl(ctx) -> str:
+    selectors = [
+        "pre.idl",
+        "pre > code.idl-code",
+        "pre > code.idl",
+        "div.idl-code > pre",
+        "pre.widl",
+    ]
+    els = []
+    for el in _get_code_elements(ctx, selectors, ["#idl-index", ".chapter-idl"]):
+        if _has_excluded_class(el) or (el.parent is not None and _has_excluded_class(el.parent)):
+            continue
+        if el.id == "actual-idl-index":
+            continue
+        els.append(el)
+    return "\n\n".join(trim_spaces_py(clean_text(el, INFORMATIVE_SELECTOR)) for el in els)
+
+
+def extract_cddl(ctx) -> list[dict]:
+    """extract-cddl.mjs:30-97 (module grouping + 'all' rollup = A2)."""
+    cddl_els = [
+        el
+        for el in _get_code_elements(ctx, ["pre.cddl"], ["#cddl-index"])
+        if not _has_excluded_class(el)
+    ]
+
+    def get_modules(el: Element) -> list[str]:
+        attr = el.get("data-cddl-module")
+        if attr:
+            return [normalize(m) for m in attr.split(",")]
+        return [c[len("cddl-"):] for c in el.classes if c.startswith("cddl-") and len(c) > 5]
+
+    modules: dict[str, list[str]] = {}
+    for el in cddl_els:
+        for name in get_modules(el):
+            if name != "all":
+                modules.setdefault(name, [])
+    merged: list[str] = []
+    for el in cddl_els:
+        cddl = trim_spaces_py(clean_text(el, INFORMATIVE_SELECTOR))
+        if not cddl:
+            continue
+        merged.append(cddl)
+        el_modules = get_modules(el) or list(modules)
+        for name in el_modules:
+            if name != "all":
+                modules.setdefault(name, []).append(cddl)
+    if not merged:
+        return []
+    res = [{"name": "all" if modules else "", "cddl": "\n\n".join(merged)}]
+    for name, blocks in modules.items():
+        res.append({"name": name, "cddl": "\n\n".join(blocks)})
+    for mod in res:
+        mod["cddl"] = re.sub(r"[ \t\r\f\v]+$", "", mod["cddl"], flags=re.M)
+        mod["cddl"] = re.sub(r"\s+$", "\n", mod["cddl"]).replace("\t", "  ").strip()
+    return res
+
+
+def extract_elements(ctx) -> list[dict]:
+    """extract-elements.mjs (interface mapping subset — the reference
+    itself only extracts element→DOM-interface for now)."""
+    out = []
+    for dl in ctx.root.query_all("dl.element"):
+        heading = dl.previous_element_sibling
+        while heading is not None and heading.tag not in _HEADING_TAGS:
+            heading = heading.previous_element_sibling
+        if heading is None:
+            continue
+        dfns = heading.query_all("dfn")
+        if not dfns:
+            continue
+        for dfn in dfns:
+            rec = {"name": normalize(dfn.text), "href": get_absolute_url(dfn, ctx)}
+            for dt in dl.query_all("dt"):
+                label = normalize(dt.text).rstrip(":")
+                if label == "DOM interface":
+                    dd = next_tag(dt, "dd")
+                    if dd is not None:
+                        code = dd.query("code") or dd.query("a")
+                        if code is not None:
+                            rec["interface"] = normalize(code.text)
+            out.append(rec)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# events / algorithms — round-1 simplified surfaces
+# ---------------------------------------------------------------------------
+
+
+def extract_events(ctx) -> list[dict]:
+    """Summary-table subset of extract-events.mjs:80-221.
+
+    Extracts rows of event summary tables (Event/Interface/Bubbles/
+    Cancelable/Targets columns). TODO(parity): 'fire an event named X'
+    prose path, IDL EventHandler inference (J6), extension merging
+    (J9-J11) live in plans.postprocess.
+    """
+    events = []
+    for table in ctx.root.query_all("table"):
+        header_cells = [normalize(th.text).lower() for th in table.query_all("th")]
+        if not header_cells or "event" not in " ".join(header_cells):
+            continue
+        cols = {}
+        for i, h in enumerate(header_cells):
+            if h in ("event", "event type", "name"):
+                cols["type"] = i
+            elif "interface" in h:
+                cols["interface"] = i
+            elif "bubbles" in h:
+                cols["bubbles"] = i
+            elif "cancelable" in h or "cancellable" in h:
+                cols["cancelable"] = i
+            elif "target" in h:
+                cols["targets"] = i
+        if "type" not in cols:
+            continue
+        for tr in table.query_all("tr"):
+            tds = [c for c in tr.child_elements() if c.tag == "td"]
+            if len(tds) <= cols["type"]:
+                continue
+            type_cell = tds[cols["type"]]
+            ev: dict = {
+                "type": normalize(type_cell.text),
+                "src": {"format": "summary table"},
+            }
+            code = type_cell.query("[id]")
+            target = code if code is not None else (type_cell if type_cell.id else None)
+            if target is not None:
+                ev["href"] = get_absolute_url(target, ctx)
+            if "interface" in cols and len(tds) > cols["interface"]:
+                iface = normalize(tds[cols["interface"]].text)
+                if iface:
+                    ev["interface"] = iface
+            for key in ("bubbles", "cancelable"):
+                if key in cols and len(tds) > cols[key]:
+                    v = normalize(tds[cols[key]].text).lower()
+                    if v in ("yes", "true", "✓"):
+                        ev[key] = True
+                    elif v in ("no", "false", "✗"):
+                        ev[key] = False
+            if "targets" in cols and len(tds) > cols["targets"]:
+                t = normalize(tds[cols["targets"]].text)
+                if t:
+                    ev["targets"] = [x.strip() for x in re.split(r"[,;]", t) if x.strip()]
+            if ev["type"]:
+                events.append(ev)
+    return events
+
+
+def extract_algorithms(ctx) -> list[dict]:
+    """Simplified extract-algorithms.mjs: elements carrying
+    ``.algorithm`` (or data-algorithm) with their step lists, in document
+    order (W6). Recursive steps serialized as nested dicts (stored as a
+    JSON column — SURVEY.md §7.3 risk 5)."""
+
+    def steps_of(ol: Element) -> list[dict]:
+        steps = []
+        for li in ol.child_elements():
+            if li.tag != "li":
+                continue
+            step: dict = {"html": normalize(clean_text(li, "ol, ul"))}
+            nested = next((c for c in li.child_elements() if c.tag == "ol"), None)
+            if nested is not None:
+                step["steps"] = steps_of(nested)
+            steps.append(step)
+        return steps
+
+    out = []
+    for el in sorted(ctx.root.query_all(".algorithm, [data-algorithm]"), key=lambda e: e.pos):
+        if is_informative(el):
+            continue
+        rec: dict = {"rationale": ".algorithm"}
+        name = el.get("data-algorithm")
+        if name:
+            rec["name"] = normalize(name)
+        if el.id:
+            rec["href"] = get_absolute_url(el, ctx)
+        ol = el.query("ol") if el.tag != "ol" else el
+        if ol is not None:
+            rec["steps"] = steps_of(ol)
+        out.append(rec)
+    return out

@@ -52,6 +52,28 @@ class Element:
             yield p
             p = p.parent
 
+    @property
+    def next_element_sibling(self) -> "Element | None":
+        if self.parent is None:
+            return None
+        sibs = self.parent.child_elements()
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    @property
+    def previous_element_sibling(self) -> "Element | None":
+        if self.parent is None:
+            return None
+        sibs = self.parent.child_elements()
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i - 1] if i > 0 else None
+
     # -- attributes ---------------------------------------------------------
     def get(self, name: str, default: str | None = None) -> str | None:
         return self.attrs.get(name, default)
