@@ -1,0 +1,316 @@
+"""BSP crawl engine: round-based frontier loop with checkpointed lineage.
+
+The Spark re-expression of the reference crawl lifecycle
+(/root/reference/src/lib/specs-crawler.js:409-506): instead of a mutable
+in-process ThrottledQueue, the crawl proceeds in synchronous rounds —
+each round selects ≤budget URLs per host group (politeness), "fetches"
+them (join against the pages table; at production scale an Iceberg scan
+with data-skipping on url_canon), runs the extraction UDF, appends
+results, merges newly-discovered links into the frontier, and commits a
+checkpoint. State lives in tables between rounds, never in memory
+(SURVEY.md §2.9).
+
+Checkpoints are parquet snapshot directories plus a JSON manifest with
+per-partition lineage and fetch/extract metrics — the open-format stand-in
+for Iceberg snapshot metadata (this sandbox has no Iceberg runtime jar;
+the write path is isolated in ``_materialize`` so swapping in
+``writeTo(...).createOrReplace()`` is a one-function change).
+
+Determinism contract (tests assert these — SURVEY.md §7.3 invariant 3):
+* per-host fetch sequence: (round, host_fetch_rank) ordering
+* round-by-round frontier contents
+* final URL-seen set
+* output order = seed order for seed rows (W3: carry seed_idx, orderBy it)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reffy_spark.extractors.base import extract_all
+from reffy_spark.functions.urls import with_url_canon
+from reffy_spark.operators import frontier as FR
+
+
+@dataclass
+class RoundMetrics:
+    round: int
+    selected: int
+    fetched: int
+    errors: int
+    discovered: int
+    new_urls: int
+    per_host_group: dict[str, int]
+    wall_sec: float
+
+
+@dataclass
+class CrawlResult:
+    results: DataFrame  # url_canon, url, seed_idx, depth, round, host_fetch_rank, status, + extract cols
+    url_seen: DataFrame  # url_canon, first_round
+    links: DataFrame | None  # url_canon, page_url, fragment, is_autolink
+    metrics: list[RoundMetrics] = field(default_factory=list)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        robots: DataFrame,
+        checkpoint_dir: str | None = None,
+        round_ms: int = 2000,
+        modules: list[str] | None = None,
+        use_bloom: bool = True,
+        collect_metrics: bool = True,
+    ):
+        self.spark = spark
+        self.robots = robots
+        self.checkpoint_dir = checkpoint_dir
+        self.round_ms = round_ms
+        self.modules = modules or ["links"]
+        self.use_bloom = use_bloom
+        self.collect_metrics = collect_metrics
+        # Canonicalize the pages table once. Canonical keys must be unique
+        # for the fetch join: distinct raw URLs can collapse to one
+        # canonical URL (e.g. whatwg multipage → root); keep the freshest
+        # capture (max warc_ts, tie-break max url) — the crawl-cache
+        # semantic of the reference's conditional refetch
+        # (src/lib/util.js:461-488). At 10^10 scale this is the Iceberg
+        # pages table bucketed by url_canon so the per-round fetch join is
+        # shuffle-free on the pages side.
+        pc = with_url_canon(pages).withColumnRenamed("url", "page_url")
+        order = (
+            [F.col("warc_ts").desc(), F.col("page_url").desc()]
+            if "warc_ts" in pc.columns
+            else [F.col("page_url").desc()]
+        )
+        w = Window.partitionBy("url_canon").orderBy(*order)
+        self.pages = (
+            pc.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    # ------------------------------------------------------------------
+    def crawl(self, seeds: DataFrame, max_rounds: int = 10) -> CrawlResult:
+        """Run the BSP loop from a seed list (url [, seed_idx])."""
+        if "seed_idx" not in seeds.columns:
+            seeds = seeds.withColumn(
+                "seed_idx", F.row_number().over(Window.orderBy("url")) - 1
+            )
+        frontier = FR.to_frontier(
+            seeds.select("url", F.col("seed_idx").cast("int")), round_no=0
+        )
+        frontier = FR.apply_robots(frontier, self.robots)
+        seen = frontier.select("url_canon", F.lit(0).alias("first_round"))
+        frontier = self._materialize(frontier, "frontier", 0)
+        seen = self._materialize(seen, "seen", 0)
+        return self._run_rounds(frontier, seen, start_round=1, max_rounds=max_rounds)
+
+    def resume(self, max_rounds: int = 10) -> CrawlResult:
+        """Resume from the latest checkpointed round (mirrors --fallback /
+        --use-crawl, specs-crawler.js:54-65,100-102). Prior rounds'
+        results are re-read from their checkpoints."""
+        if not self.checkpoint_dir:
+            raise ValueError("resume requires a checkpoint_dir")
+        rounds = self._checkpointed_rounds()
+        last = rounds[-1]
+        frontier = self.spark.read.parquet(
+            os.path.join(self.checkpoint_dir, f"round={last}", "frontier")
+        )
+        seen = self.spark.read.parquet(
+            os.path.join(self.checkpoint_dir, f"round={last}", "seen")
+        )
+        prior = [
+            self.spark.read.parquet(
+                os.path.join(self.checkpoint_dir, f"round={r}", "results")
+            )
+            for r in rounds
+            if os.path.exists(os.path.join(self.checkpoint_dir, f"round={r}", "results"))
+        ]
+        return self._run_rounds(
+            frontier, seen, start_round=last + 1, max_rounds=max_rounds, prior=prior
+        )
+
+    def _checkpointed_rounds(self) -> list[int]:
+        return sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(self.checkpoint_dir)
+            if d.startswith("round=")
+            and os.path.exists(os.path.join(self.checkpoint_dir, d, "seen"))
+        )
+
+    # ------------------------------------------------------------------
+    def _run_rounds(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        start_round: int,
+        max_rounds: int,
+        prior: list[DataFrame] | None = None,
+    ) -> CrawlResult:
+        all_results: list[DataFrame] = list(prior or [])
+        metrics: list[RoundMetrics] = []
+
+        for rnd in range(start_round, max_rounds + 1):
+            t0 = time.monotonic()
+            if frontier.isEmpty():
+                break
+
+            batch = FR.politeness_rank(frontier, self.robots, self.round_ms)
+
+            # ---- fetch: join batch to pages on url_canon ----------------
+            fetched = batch.join(
+                self.pages.select("url_canon", "html"),
+                on="url_canon",
+                how="left",
+            ).withColumn(
+                "status",
+                F.when(F.col("html").isNotNull(), F.lit("ok")).otherwise(
+                    F.lit("notfound")
+                ),
+            )
+
+            # ---- extract: one Arrow pass, all requested modules ---------
+            # Salting happens here: repartition by url hash spreads a hot
+            # host's pages across the cluster; fetch ordering metadata
+            # (host_fetch_rank) was already assigned above, so politeness
+            # accounting is unaffected (SURVEY.md §7.3 risk 4).
+            ok = fetched.filter(F.col("status") == "ok").repartition(
+                self.spark.sparkContext.defaultParallelism, "url_canon"
+            )
+            extracts = extract_all(
+                ok, self.modules, url_col="url_canon", html_col="html"
+            ).withColumnRenamed("url", "url_canon")
+            round_results = (
+                fetched.drop("html")
+                .join(extracts, on="url_canon", how="left")
+                .withColumn("round", F.lit(rnd))
+            )
+            round_results = self._materialize(round_results, "results", rnd)
+            all_results.append(round_results)
+
+            # ---- discover: outgoing links → candidate frontier rows -----
+            discovered = links_long(round_results.filter(F.col("status") == "ok"))
+            candidates = discovered.select(
+                F.col("page_url").alias("url")
+            ).withColumn("seed_idx", F.lit(None).cast("int"))
+            next_depth = F.lit(rnd)  # BFS depth == first reachable round
+            cand = FR.to_frontier(candidates, depth_col=next_depth, round_no=rnd)
+            cand = FR.apply_robots(cand, self.robots)
+
+            bloom = FR.build_bloom(seen) if self.use_bloom else None
+            new_urls = FR.filter_unseen(cand, seen, bloom=bloom)
+
+            # ---- commit round: update frontier + seen -------------------
+            frontier = frontier.join(
+                batch.select("url_canon"), on="url_canon", how="left_anti"
+            ).unionByName(new_urls.select(*frontier.columns))
+            seen = seen.unionByName(
+                new_urls.select("url_canon", F.lit(rnd).alias("first_round"))
+            )
+            frontier = self._materialize(frontier, "frontier", rnd)
+            seen = self._materialize(seen, "seen", rnd)
+
+            # ---- lineage metrics ----------------------------------------
+            if self.collect_metrics:
+                m = RoundMetrics(
+                    round=rnd,
+                    selected=batch.count(),
+                    fetched=round_results.filter(F.col("status") == "ok").count(),
+                    errors=round_results.filter(F.col("status") != "ok").count(),
+                    discovered=candidates.count(),
+                    new_urls=new_urls.count(),
+                    per_host_group={
+                        r["host_group"]: r["n"]
+                        for r in batch.groupBy("host_group")
+                        .agg(F.count("*").alias("n"))
+                        .collect()
+                    },
+                    wall_sec=time.monotonic() - t0,
+                )
+                metrics.append(m)
+                self._write_manifest(rnd, m)
+
+        if all_results:
+            results = all_results[0]
+            for extra in all_results[1:]:
+                results = results.unionByName(extra, allowMissingColumns=True)
+        else:
+            results = self.spark.createDataFrame(
+                [], "url_canon string, url string, status string"
+            )
+        links = (
+            links_long(results.filter(F.col("status") == "ok"))
+            if "links" in self.modules and all_results
+            else None
+        )
+        return CrawlResult(results=results, url_seen=seen, links=links, metrics=metrics)
+
+    # ------------------------------------------------------------------
+    def _materialize(self, df: DataFrame, name: str, rnd: int) -> DataFrame:
+        """Commit a state table for this round (checkpoint = snapshot).
+
+        Writing + re-reading truncates lineage (the BSP round boundary)
+        and is the resume point. Without a checkpoint dir, fall back to
+        localCheckpoint (same truncation, no persistence).
+        """
+        if self.checkpoint_dir:
+            path = os.path.join(self.checkpoint_dir, f"round={rnd}", name)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
+
+    def _write_manifest(self, rnd: int, m: RoundMetrics) -> None:
+        if not self.checkpoint_dir:
+            return
+        path = os.path.join(self.checkpoint_dir, f"round={rnd}", "manifest.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(
+                {
+                    "round": m.round,
+                    "selected": m.selected,
+                    "fetched": m.fetched,
+                    "errors": m.errors,
+                    "discovered": m.discovered,
+                    "new_urls": m.new_urls,
+                    "per_host_group": m.per_host_group,
+                    "wall_sec": m.wall_sec,
+                    "modules": self.modules,
+                },
+                f,
+                indent=1,
+            )
+
+
+def links_long(results: DataFrame) -> DataFrame:
+    """Normalize the links JSON column into a long table
+    (url_canon, page_url, fragment, is_autolink) — FIXTURES.md §5
+    golden_links shape. JSON parsing happens JVM-side (from_json)."""
+    schema = "map<string, struct<anchors: array<string>>>"
+    out = None
+    for kind, flag in (("rawlinks", False), ("autolinks", True)):
+        m = results.select(
+            F.col("url_canon"),
+            F.explode_outer(
+                F.from_json(F.get_json_object(F.col("links"), f"$.{kind}"), schema)
+            ).alias("page_url", "v"),
+        ).filter(F.col("page_url").isNotNull())
+        part = m.select(
+            "url_canon",
+            "page_url",
+            F.explode_outer(
+                F.coalesce(F.col("v.anchors"), F.array().cast("array<string>"))
+            ).alias("fragment"),
+            F.lit(flag).alias("is_autolink"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

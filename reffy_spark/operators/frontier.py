@@ -1,0 +1,250 @@
+"""Frontier layer: canonicalize → URL-seen dedup → politeness ranking.
+
+Pure relational (no UDF state), per SURVEY.md §7.0 layer 1. This is the
+Spark re-expression of the reference's scheduler:
+
+* URL-seen set = left-anti join on ``url_canon`` (the reference gets
+  dedup for free from its fixed seed list — crawlList maps once,
+  /root/reference/src/lib/specs-crawler.js:473-479 — a general frontier
+  needs the real thing). A broadcast bloom prefilter built from Spark's
+  deterministic ``xxhash64`` prunes the anti-join: rows the bloom has
+  definitely never seen skip the shuffle entirely; only "maybe seen"
+  rows are confirmed exactly. The exact set remains the source of truth
+  (FIXTURES.md §3).
+* Politeness = per-``host_group`` budget ranking
+  (/root/reference/src/lib/throttled-queue.js:110-128 per-origin serial
+  queues + sleepInterval politeness,
+  /root/reference/src/lib/specs-crawler.js:461-470): one crawl round may
+  fetch at most ``round_ms / crawl_delay_ms`` URLs per host group.
+* Skew: ranking shuffles on ``host_group`` (hot hosts like the github.io
+  analog dominate); the *extraction* stage re-partitions by url hash
+  (salting) so heavy hosts spread across the cluster while fetch
+  ordering stays per-host deterministic (SURVEY.md §7.3 risk 4).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from reffy_spark.functions.urls import host_col, host_group_col, with_url_canon
+
+# --------------------------------------------------------------------------
+# URL-seen
+# --------------------------------------------------------------------------
+
+# Driver-built broadcast bloom is used while the seen set fits comfortably;
+# beyond this we fall back to the plain distributed anti-join (at true
+# 10^10 scale the bloom would be maintained per hash-partition alongside
+# the bucketed seen table — same lifecycle, bigger bitmap).
+BLOOM_MAX_ITEMS = 50_000_000
+
+
+class Bloom:
+    """Vectorized double-hashing bloom over Spark ``xxhash64`` values.
+
+    Bits are a numpy array broadcast to executors; membership tests are
+    numpy-vectorized inside an Arrow UDF (no per-row Python).
+    """
+
+    def __init__(self, n_items: int, fpp: float = 0.01):
+        n_items = max(n_items, 16)
+        m = int(-n_items * math.log(fpp) / (math.log(2) ** 2))
+        self.m = max(64, m)
+        self.k = max(1, round(self.m / n_items * math.log(2)))
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        # double hashing: g_i = h1 + i*h2 mod m  (h is int64 xxhash64)
+        h = h.astype(np.uint64)
+        h1 = h % np.uint64(self.m)
+        h2 = (h >> np.uint64(17) | np.uint64(1)) % np.uint64(self.m)
+        return np.stack(
+            [(h1 + np.uint64(i) * h2) % np.uint64(self.m) for i in range(self.k)]
+        )
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        pos = self._positions(np.asarray(h, dtype=np.int64)).ravel()
+        np.bitwise_or.at(self.bits, pos // 64, np.uint64(1) << (pos % 64))
+
+    def might_contain(self, h: np.ndarray) -> np.ndarray:
+        pos = self._positions(np.asarray(h, dtype=np.int64))
+        out = np.ones(pos.shape[1], dtype=bool)
+        for row in pos:
+            out &= (self.bits[row // 64] >> (row % 64)) & np.uint64(1) != 0
+        return out
+
+
+def build_bloom(seen: DataFrame, key: str = "url_canon", fpp: float = 0.01) -> Bloom | None:
+    """Build a driver-side bloom from the seen table's xxhash64 values."""
+    n = seen.count()
+    if n > BLOOM_MAX_ITEMS:
+        return None
+    bloom = Bloom(n, fpp)
+    hashes = seen.select(F.xxhash64(key).alias("h")).toPandas()["h"].to_numpy()
+    if len(hashes):
+        bloom.add_hashes(hashes)
+    return bloom
+
+
+def filter_unseen(
+    candidates: DataFrame,
+    seen: DataFrame,
+    key: str = "url_canon",
+    bloom: Bloom | None = None,
+) -> DataFrame:
+    """Rows of ``candidates`` whose key is not in ``seen``.
+
+    With a bloom: definitely-new rows bypass the anti-join shuffle; only
+    maybe-seen rows are confirmed exactly (false-positive-safe).
+    """
+    if bloom is None:
+        return candidates.join(seen.select(key), on=key, how="left_anti")
+
+    bloom_bc = bloom  # captured by closure, shipped once per executor
+
+    @pandas_udf(BooleanType())
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        return pd.Series(bloom_bc.might_contain(h.to_numpy()))
+
+    with_flag = candidates.withColumn("_maybe_seen", maybe_seen(F.xxhash64(key)))
+    definite_new = with_flag.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    needs_check = with_flag.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    confirmed_new = needs_check.join(seen.select(key), on=key, how="left_anti")
+    return definite_new.unionByName(confirmed_new)
+
+
+# --------------------------------------------------------------------------
+# Frontier construction
+# --------------------------------------------------------------------------
+
+FRONTIER_COLS = [
+    "url",
+    "url_canon",
+    "host",
+    "host_group",
+    "priority",
+    "depth",
+    "round_discovered",
+]
+
+
+def to_frontier(df: DataFrame, depth_col=None, priority_col=None, round_no: int = 0) -> DataFrame:
+    """Canonicalize candidate URLs into frontier rows (FIXTURES.md §3)."""
+    out = with_url_canon(df)
+    out = out.withColumn("host", host_col(F.col("url_canon")))
+    out = out.withColumn("host_group", host_group_col(F.col("url_canon")))
+    out = out.withColumn(
+        "depth", depth_col if depth_col is not None else F.lit(0)
+    )
+    out = out.withColumn(
+        "priority",
+        priority_col
+        if priority_col is not None
+        else F.lit(1.0) / (F.col("depth") + F.lit(1.0)),
+    )
+    out = out.withColumn("round_discovered", F.lit(round_no))
+    # within-batch dedup: lowest (depth, url) wins per canonical URL
+    w = Window.partitionBy("url_canon").orderBy("depth", "url")
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# Robots + politeness
+# --------------------------------------------------------------------------
+
+
+def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
+    """Keep rows allowed by the longest-matching path-prefix rule.
+
+    The robots table is small (one row per host×prefix): broadcast join.
+    Hosts with no rule at all are allowed (crawl_delay falls back later).
+    """
+    path = F.regexp_extract(F.col("url_canon"), r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rules = robots.select(
+        F.col("host").alias("_r_host"),
+        F.col("path_prefix").alias("_r_prefix"),
+        F.col("allow").alias("_r_allow"),
+    )
+    joined = frontier.withColumn("_path", path).join(
+        F.broadcast(rules),
+        (F.col("host") == F.col("_r_host"))
+        & F.col("_path").startswith(F.col("_r_prefix")),
+        "left",
+    )
+    w = Window.partitionBy("url_canon").orderBy(
+        F.length(F.col("_r_prefix")).desc_nulls_last()
+    )
+    best = (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        best.filter(F.coalesce(F.col("_r_allow"), F.lit(True)))
+        .drop("_path", "_r_host", "_r_prefix", "_r_allow")
+    )
+
+
+def host_budgets(robots: DataFrame, round_ms: int, default_delay_ms: int = 100) -> DataFrame:
+    """Per-host fetch budget for one round: floor(round_ms / crawl_delay).
+
+    Mirrors the reference's per-origin sleep intervals
+    (specs-crawler.js:461-470) re-expressed as a BSP budget (SURVEY.md
+    §2.9 "stateful rate limiting").
+    """
+    return (
+        robots.groupBy("host")
+        .agg(F.max("crawl_delay_ms").alias("crawl_delay_ms"))
+        .select(
+            "host",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(round_ms) / F.col("crawl_delay_ms")).cast("int"),
+            ).alias("budget"),
+        )
+    )
+
+
+def politeness_rank(
+    pending: DataFrame,
+    robots: DataFrame,
+    round_ms: int,
+    default_delay_ms: int = 100,
+) -> DataFrame:
+    """Select ≤budget URLs per host_group for this round (W1 + §2.6 top-k).
+
+    Deterministic order inside a host group: priority desc, depth asc,
+    url_canon asc — this is the per-host fetch sequence the parity tests
+    assert (SURVEY.md §7.3 invariant 3). Returns rows with
+    ``host_fetch_rank`` (1-based position in the host's queue this round).
+    """
+    budgets = host_budgets(robots, round_ms, default_delay_ms)
+    # budget of a host_group = budget of its slowest member host seen so far;
+    # hosts without robots rows fall back to the default delay.
+    default_budget = max(1, round_ms // default_delay_ms)
+    w = Window.partitionBy("host_group").orderBy(
+        F.col("priority").desc(), F.col("depth").asc(), F.col("url_canon").asc()
+    )
+    ranked = (
+        pending.join(F.broadcast(budgets), on="host", how="left")
+        .withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
+        .withColumn("host_fetch_rank", F.row_number().over(w))
+    )
+    group_budget = F.min("budget").over(Window.partitionBy("host_group"))
+    return (
+        ranked.withColumn("_gb", group_budget)
+        .filter(F.col("host_fetch_rank") <= F.col("_gb"))
+        .drop("_gb", "budget")
+    )

@@ -1,0 +1,140 @@
+"""End-to-end seed-replay parity: distributed engine vs reference simulator.
+
+Mirrors the reference's e2e crawl test (test/crawl.js:51-68 asserting
+against crawl-test.json): same seed list + politeness budget must yield
+the same per-host fetch sequence, round-by-round frontier, and final
+URL-seen set (SURVEY.md §7.3 invariant 3; FIXTURES.md §7 tier 2/3).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reffy_spark.operators.crawler import CrawlEngine
+from reffy_spark.sources import synthetic as syn
+from reffy_spark.testing.simulator import simulate_crawl
+
+N_PAGES = 60
+N_SEEDS = 6
+MAX_ROUNDS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pages = syn.gen_pages(spark, N_PAGES, partitions=8).cache()
+    seeds = syn.gen_seeds(spark, N_PAGES, N_SEEDS).cache()
+    robots = syn.gen_robots(spark).cache()
+    return pages, seeds, robots
+
+
+@pytest.fixture(scope="module")
+def sim(corpus):
+    pages, seeds, robots = corpus
+    pages_rows = [
+        {"url": r["url"], "warc_ts": r["warc_ts"], "html": bytes(r["html"])}
+        for r in pages.collect()
+    ]
+    seed_urls = [r["url"] for r in seeds.orderBy("seed_idx").collect()]
+    robots_rows = [r.asDict() for r in robots.collect()]
+    return simulate_crawl(seed_urls, pages_rows, robots_rows, max_rounds=MAX_ROUNDS)
+
+
+@pytest.fixture(scope="module")
+def engine_result(spark, corpus, tmp_path_factory):
+    pages, seeds, robots = corpus
+    chk = str(tmp_path_factory.mktemp("chk"))
+    eng = CrawlEngine(spark, pages, robots, checkpoint_dir=chk, modules=["links"])
+    res = eng.crawl(seeds, max_rounds=MAX_ROUNDS)
+    return res
+
+
+def _engine_fetches(res):
+    rows = res.results.select(
+        "url_canon", "round", "host_group", "host_fetch_rank", "status", "depth"
+    ).collect()
+    return sorted((r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows)
+
+
+def test_fetch_sequence_parity(engine_result, sim):
+    got = _engine_fetches(engine_result)
+    expected = sorted(sim.fetches)
+    assert got == expected
+
+
+def test_url_seen_parity(engine_result, sim):
+    got = {
+        r["url_canon"]: r["first_round"] for r in engine_result.url_seen.collect()
+    }
+    assert got == sim.url_seen
+
+
+def test_crawl_order_is_seed_order(engine_result, corpus):
+    _, seeds, _ = corpus
+    seed_rows = engine_result.results.filter(F.col("seed_idx").isNotNull())
+    ordered = seed_rows.orderBy("seed_idx").select("url_canon").collect()
+    # seed output order == seed input order (W3)
+    from reffy_spark.functions.urls import url_canon_py
+
+    expected = [url_canon_py(r["url"]) for r in seeds.orderBy("seed_idx").collect()]
+    got = [r["url_canon"] for r in ordered]
+    assert got == [u for u in expected if u in set(got)]
+    assert len(got) == len(set(got))
+
+
+def test_links_table_matches_generator(engine_result, spark):
+    # outgoing links of every fetched page == deterministic link_targets()
+    links = engine_result.links.select("url_canon", "page_url").distinct().collect()
+    by_src = {}
+    for r in links:
+        by_src.setdefault(r["url_canon"], set()).add(r["page_url"])
+    import re
+
+    checked = 0
+    for src, targets in by_src.items():
+        m = re.search(r"spec-(\d+)/$", src)
+        if not m:
+            continue  # collapsed canonical (whatwg root): content id ambiguous
+        i = int(m.group(1))
+        expect = {syn.url_of_page(t) for t in syn.link_targets(i, N_PAGES)}
+        # the .head repo link must have been EXCLUDED by the extractor
+        assert f"https://github.example/repo-{i}" not in targets
+        assert targets == expect, src
+        checked += 1
+    assert checked > 5
+
+
+def test_bloom_and_exact_paths_agree(spark, corpus):
+    pages, seeds, robots = corpus
+    res_b = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom=True, collect_metrics=False
+    ).crawl(seeds, max_rounds=2)
+    res_e = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom=False, collect_metrics=False
+    ).crawl(seeds, max_rounds=2)
+    assert _engine_fetches(res_b) == _engine_fetches(res_e)
+    assert sorted(r["url_canon"] for r in res_b.url_seen.collect()) == sorted(
+        r["url_canon"] for r in res_e.url_seen.collect()
+    )
+
+
+def test_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, engine_result):
+    pages, seeds, robots = corpus
+    chk = str(tmp_path_factory.mktemp("chk_resume"))
+    eng = CrawlEngine(spark, pages, robots, checkpoint_dir=chk, modules=["links"])
+    eng.crawl(seeds, max_rounds=2)
+    resumed = CrawlEngine(
+        spark, pages, robots, checkpoint_dir=chk, modules=["links"]
+    ).resume(max_rounds=MAX_ROUNDS)
+    assert _engine_fetches(resumed) == _engine_fetches(engine_result)
+    got = {r["url_canon"]: r["first_round"] for r in resumed.url_seen.collect()}
+    want = {
+        r["url_canon"]: r["first_round"] for r in engine_result.url_seen.collect()
+    }
+    assert got == want
+
+
+def test_round_metrics_lineage(engine_result):
+    ms = engine_result.metrics
+    assert len(ms) >= 2
+    for m in ms:
+        assert m.selected == m.fetched + m.errors
+        assert sum(m.per_host_group.values()) == m.selected
