@@ -1,0 +1,299 @@
+"""Deduplication operators for web-text corpora at training-data scale.
+
+The reference's crawl dedupes URLs, not content; these operators extend
+the engine with the content-level dedup a 100 TB text pipeline needs
+(exact, MinHash-LSH, SimHash, n-gram Jaccard, embedding near-dup).
+
+Design constraints:
+* Every kernel is deterministic and **engine-portable**: hashes are
+  derived from md5 hex (identical in Spark and DuckDB), so the driver's
+  DuckDB oracle can run the same math (`conv(substr(md5(x),1,15),16,10)`
+  ≡ `('0x'||substr(md5(x),1,15))::BIGINT`).
+* Hot paths are pure Column expressions (whole-stage codegen); no Python
+  UDFs anywhere in this module.
+* Scale: candidate generation is always *banded* (LSH buckets / length
+  bands) so the pair space is near-linear, never a full cross join;
+  verification joins happen only within buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from reffy_spark.functions.text import tokens_col
+
+# portable 60-bit hash of a string expression
+def h60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Group identical texts; emit one row per doc with its group and a
+    canonical flag (lowest id wins). Hash-groupBy: one shuffle on the
+    digest, partial aggregation map-side."""
+    d = docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest"))
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    return (
+        d.withColumn("rank_in_group", F.row_number().over(w))
+        .withColumn("group_size", F.count("*").over(Window.partitionBy("digest")))
+        .select(
+            "doc_id",
+            F.col("digest").alias("dup_group"),
+            (F.col("rank_in_group") == 1).alias("is_canonical"),
+            F.col("group_size").cast("long").alias("group_size"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct), as an array<string> Column."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_sig_cols(text: Column, k: int = 16, n: int = 3) -> list[Column]:
+    """k MinHash values, each the min over shingles of a salted 60-bit
+    md5 hash. Pure expressions: k × |shingles| hashes computed JVM-side."""
+    sh = shingles_col(text, n)
+    return [
+        F.array_min(
+            F.transform(sh, lambda s, p=p: h60(F.concat(s, F.lit(f"#{p}"))))
+        ).alias(f"mh{p}")
+        for p in range(k)
+    ]
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16, n: int = 3
+) -> DataFrame:
+    """doc_id + mh0..mh{k-1}; docs with fewer than n tokens are dropped
+    (no shingles → no signature)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *minhash_sig_cols(F.col(text_col), k, n)
+    ).filter(F.col("mh0").isNotNull())
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash-LSH banding: hash each band of the signature, bucket-join.
+
+    Returns distinct candidate pairs (doc_a < doc_b). The only shuffle is
+    the per-band groupBy on (band, band_hash); pairs are generated inside
+    buckets via a self-equi-join on the bucket key — never a cross join.
+    """
+    k = bands * rows_per_band
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws(",", *[p.cast("string") for p in parts])).alias(f"band{b}")
+        )
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
+    → exact Jaccard verification on shingle sets (computed only for
+    candidate pairs). Returns (doc_a, doc_b, jaccard) with jaccard ≥
+    threshold, rounded to 6 decimals (oracle-stable)."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(docs, id_col, text_col, k, n)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (direct, length-banded)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    length_band_ratio: float = 0.5,
+) -> DataFrame:
+    """All-pairs n-gram Jaccard above a threshold, with a length-band
+    pruning predicate (|a|≥t·|b| is necessary for J≥t) so the join is a
+    range-restricted band join, not a cross product. For corpora where
+    even banding is too much, use minhash_dedup_pairs."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles_col(F.col(text_col), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    )
+    pairs = a.join(
+        b,
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("na") >= F.col("nb") * F.lit(length_band_ratio))
+        & (F.col("nb") >= F.col("na") * F.lit(length_band_ratio)),
+    )
+    return (
+        pairs.withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over whitespace tokens, pure expressions.
+
+    For each bit j: majority vote of token-hash bit j (+1/-1); the
+    fingerprint sets bit j when the vote is ≥ 0. Token hash is the
+    portable 60-bit md5 hash, so the same SQL runs on DuckDB.
+    """
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: h60(t))
+
+    def bit_vote(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out + F.when(bit_vote(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash")
+    )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidate generation bands the fingerprint into ``n_bands`` bit
+    slices and buckets on (band, slice): by pigeonhole, any pair with
+    hamming ≤ n_bands-1 shares at least one unchanged band, so recall is
+    EXACT for max_hamming ≤ n_bands-1 (set n_bands = max_hamming+1).
+    Verification = bit_count(xor) inside buckets only.
+    """
+    band_bits = SIMHASH_BITS // n_bands
+    mask = (1 << band_bits) - 1
+    sh = simhash_table(docs, id_col, text_col)
+    stacked = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("slice"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band", "e.slice")
+    a = stacked.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "slice"
+    )
+    b = stacked.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "slice"
+    )
+    return (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )

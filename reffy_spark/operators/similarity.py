@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the scale path is
+random-hyperplane LSH bucketing (deterministic planes derived from md5,
+no RNG), which turns the O(N) scan per query into a bucket probe.
+
+All math is pure Column expressions (zip_with/aggregate fold, sequential
+accumulation) so the DuckDB oracle can reproduce values bit-for-bit
+modulo a round(…, 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from reffy_spark.operators.dedupe import h60
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity to a constant query vector.
+
+    One scan + a global top-k (Spark's orderBy+limit = partial top-k per
+    partition then merge — no full sort shuffle).
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(cosine_col(F.col(vec_col), q), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def pairwise_topk_join(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """kNN join: for each row of A, its k nearest rows of B by cosine.
+
+    Brute-force variant (broadcast B when small — the common "probe a
+    reference set" case). At scale, pre-bucket both sides with lsh_buckets
+    and join on bucket before ranking.
+    """
+    a = emb_a.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb_b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(F.broadcast(b)).withColumn(
+        "cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH (random hyperplanes, deterministic)
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(p: int, i: int) -> Column:
+    """Deterministic pseudo-random plane component in [-1, 1): derived
+    from md5 of (plane, index) — identical across engines and runs."""
+    return (h60(F.lit(f"plane-{p}-{i}")) % F.lit(2_000_001)).cast("double") / F.lit(
+        1_000_000.0
+    ) - F.lit(1.0)
+
+
+def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-concatenation bucket id over n deterministic hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[_plane_component(p, i) for i in range(dim)])
+        d = dot_col(vec, plane)
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: rank only vectors in the query's LSH bucket.
+
+    At 100 TB the buckets table is written bucketed-by(bucket) so a query
+    probes one partition; recall/latency trades via n_planes (and
+    multi-probe over neighboring buckets — future work).
+    """
+    b = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qb = lsh_bucket_col(q, dim, n_planes)
+    return (
+        b.filter(F.col("bucket") == qb)
+        .select(
+            "vec_id", F.round(cosine_col(F.col("embedding"), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vectors (cosine ≥ threshold), LSH-bucketed candidate
+    generation + exact verification inside buckets."""
+    b = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
+    a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    return (
+        a.join(c, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

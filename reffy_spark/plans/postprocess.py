@@ -1,0 +1,194 @@
+"""Cross-spec post-processing as relational DataFrame jobs.
+
+The reference runs these as driver-side loops over in-memory crawl JSON
+(/root/reference/src/lib/post-processor.js:67-77); here each is a pure
+DataFrame→DataFrame plan (joins/aggregations), so Catalyst handles
+ordering/pushdown and the jobs scale with the extract tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# backrefs (J7) — the flagship cross-spec join
+# --------------------------------------------------------------------------
+
+_MULTIPAGE_PREFIXES = (
+    "https://html.spec.whatwg.org/multipage/",
+    "https://tc39.es/ecma262/multipage/",
+)
+
+
+def _alias_forms(href_col):
+    """href + single-page alias for HTML/ES multipage URLs
+    (backrefs.js:166-212)."""
+    single = F.regexp_replace(href_col, r"/multipage/[^#]+#", "/#")
+    is_multi = F.lit(False)
+    for p in _MULTIPAGE_PREFIXES:
+        is_multi = is_multi | href_col.startswith(p)
+    return F.when(is_multi, F.array(href_col, single)).otherwise(F.array(href_col))
+
+
+def backrefs(
+    dfns: DataFrame,  # columns: shortname, href, id, linkingText, type, for, access
+    links: DataFrame,  # columns: shortname, page_url, fragment
+) -> DataFrame:
+    """Terms of each spec referenced by other specs (backrefs.js:22-111).
+
+    Relationally: build the dfn index with alias-form keys (explode of
+    1-2 variants), expand every outgoing fragment link to alias forms,
+    equi-join on the canonical key, drop self-references, aggregate
+    referrers per term. The dfn index is usually much smaller than the
+    links table → broadcast it; at 100 TB both sides shuffle-partition on
+    the href key (sort-merge) and AQE handles skew.
+    """
+    dfn_index = dfns.select(
+        F.col("shortname").alias("def_shortname"),
+        F.col("href").alias("dfn_href"),
+        "id",
+        "linkingText",
+        "type",
+        F.col("for").alias("dfn_for"),
+        "access",
+        F.explode(_alias_forms(F.col("href"))).alias("key"),
+    )
+    # Map.set semantics: one entry per key. Deterministic winner: last by
+    # (def_shortname, dfn_href) in lexical order mirrors last-write-wins
+    # for the synthetic corpora (alias collisions are pathological).
+    w = Window.partitionBy("key").orderBy(
+        F.col("def_shortname").desc(), F.col("dfn_href").desc()
+    )
+    dfn_index = (
+        dfn_index.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    frag_links = (
+        links.filter(F.col("fragment").isNotNull())
+        .select(
+            F.col("shortname").alias("ref_shortname"),
+            F.concat(F.col("page_url"), F.lit("#"), F.col("fragment")).alias("link"),
+        )
+        .distinct()
+    )
+    probe = frag_links.select(
+        "ref_shortname",
+        F.posexplode(_alias_forms(F.col("link"))).alias("form_rank", "key"),
+    )
+    matched = probe.join(F.broadcast(dfn_index), on="key", how="inner").filter(
+        F.col("ref_shortname") != F.col("def_shortname")
+    )
+    # first matching form wins (alternateLinkForms order)
+    w2 = Window.partitionBy("ref_shortname", "dfn_href").orderBy("form_rank")
+    matched = (
+        matched.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        matched.groupBy(
+            "def_shortname", "dfn_href", "id", "type", "access"
+        )
+        .agg(F.sort_array(F.collect_set("ref_shortname")).alias("referencedBy"))
+        .withColumnRenamed("dfn_href", "href")
+    )
+
+
+# --------------------------------------------------------------------------
+# annotate-links (J8)
+# --------------------------------------------------------------------------
+
+
+def annotate_links(links: DataFrame, specs: DataFrame) -> DataFrame:
+    """Annotate outgoing links with the shortname of the spec they point
+    to (annotate-links.js:6-39): canonicalize the link target, broadcast-
+    join against the spec URL-alias table."""
+    from reffy_spark.functions.urls import canonicalize_url_col
+
+    alias_cols = [c for c in ("url", "nightly_url", "release_url") if c in specs.columns]
+    aliases = None
+    for c in alias_cols:
+        part = specs.select(
+            F.col(c).alias("spec_url"), F.col("shortname").alias("specShortname")
+        ).filter(F.col("spec_url").isNotNull())
+        aliases = part if aliases is None else aliases.unionByName(part)
+    aliases = aliases.withColumn(
+        "spec_url", canonicalize_url_col(F.col("spec_url"))
+    ).dropDuplicates(["spec_url"])
+    annotated = links.withColumn(
+        "_canon", canonicalize_url_col(F.col("page_url"))
+    ).join(
+        F.broadcast(aliases),
+        F.col("_canon") == F.col("spec_url"),
+        "left",
+    )
+    return annotated.drop("_canon", "spec_url")
+
+
+# --------------------------------------------------------------------------
+# events consolidation (J11 babbling merge + W5 deterministic sort)
+# --------------------------------------------------------------------------
+
+
+def consolidate_events(events: DataFrame) -> DataFrame:
+    """Merge duplicate events with same (href, cancelable), union targets
+    (events.js:235-253), then the deterministic W5 sort
+    (type, interface nulls-first, href nulls-first)."""
+    merged = (
+        events.groupBy("href", "cancelable")
+        .agg(
+            F.first("type").alias("type"),
+            F.first("interface", ignorenulls=True).alias("interface"),
+            F.first("bubbles", ignorenulls=True).alias("bubbles"),
+            F.sort_array(
+                F.array_distinct(
+                    F.flatten(
+                        F.collect_list(F.coalesce("targets", F.array().cast("array<string>")))
+                    )
+                )
+            ).alias("targets"),
+        )
+    )
+    return merged.orderBy(
+        F.col("type").asc(),
+        F.col("interface").asc_nulls_first(),
+        F.col("href").asc_nulls_first(),
+    )
+
+
+# --------------------------------------------------------------------------
+# crawl merge (J12)
+# --------------------------------------------------------------------------
+
+
+def merge_crawls(reference: DataFrame, new: DataFrame, key: str = "url") -> DataFrame:
+    """Merge a new crawl into a reference crawl: keep reference rows that
+    match no new row on the key, concat new (merge-crawl-results.js:41-62
+    re-expressed as anti-join + union), sorted by the key (byURL)."""
+    kept = reference.join(new.select(key), on=key, how="left_anti")
+    return kept.unionByName(new, allowMissingColumns=True).orderBy(key)
+
+
+# --------------------------------------------------------------------------
+# series-latest selection (J13)
+# --------------------------------------------------------------------------
+
+
+def series_latest(
+    specs: DataFrame,
+    series_col: str = "series_shortname",
+    level_col: str = "level",
+    composition_col: str = "seriesComposition",
+) -> DataFrame:
+    """Latest full level per series: window rank instead of the
+    reference's linked-list traversal (util.js:731-775)."""
+    w = Window.partitionBy(series_col).orderBy(F.col(level_col).desc())
+    return (
+        specs.filter(F.col(composition_col) == "full")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,127 @@
+"""Training-data ops: dedup, similarity, text analysis, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reffy_spark.operators import dedupe as D
+from reffy_spark.operators import multimodal as MM
+from reffy_spark.operators import similarity as S
+from reffy_spark.operators import text_analysis as TA
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")], "doc_id long, text string"
+    )
+    res = {r["doc_id"]: r for r in D.exact_duplicates(df).collect()}
+    assert res[1]["is_canonical"] and not res[2]["is_canonical"]
+    assert res[1]["dup_group"] == res[2]["dup_group"]
+    assert res[3]["is_canonical"] and res[3]["group_size"] == 1
+
+
+def test_minhash_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    far = "completely different words that share nothing at all with others here"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    pairs = D.minhash_dedup_pairs(df, threshold=0.3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    assert 0.3 <= pairs[0]["jaccard"] <= 1.0
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")],
+        "doc_id long, text string",
+    )
+    pairs = D.ngram_jaccard_pairs(df, threshold=0.9).collect()
+    assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_near_pairs(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = base.replace("tok7", "tokX")
+    df = spark.createDataFrame([(1, base), (2, near)], "doc_id long, text string")
+    pairs = D.simhash_near_pairs(df, max_hamming=3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_cosine_topk_self_is_best(spark, emb):
+    first = emb.orderBy("vec_id").first()
+    res = S.cosine_topk(emb, list(first["embedding"]), k=3).collect()
+    assert res[0]["vec_id"] == first["vec_id"]
+    assert res[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+    assert res[0]["cosine"] >= res[1]["cosine"] >= res[2]["cosine"]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    q = list(emb.orderBy("vec_id").first()["embedding"])
+    exact = [r["vec_id"] for r in S.cosine_topk(emb, q, k=5).collect()]
+    approx = [r["vec_id"] for r in S.ann_topk_lsh(emb, q, dim=64, k=5, n_planes=4).collect()]
+    # the query itself must be found; recall@5 must be non-trivial
+    assert exact[0] in approx
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_knn_join_rank_contract(spark, emb):
+    sub = emb.limit(20)
+    res = S.pairwise_topk_join(sub, sub, k=3).collect()
+    by_a = {}
+    for r in res:
+        by_a.setdefault(r["id_a"], []).append(r)
+    for a, rows in by_a.items():
+        assert len(rows) == 3
+        assert [r["rank"] for r in sorted(rows, key=lambda x: x["rank"])] == [1, 2, 3]
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["id_b"] == a  # self is nearest
+
+
+def test_profile_documents(docs):
+    prof = TA.profile_documents(docs)
+    rows = prof.limit(50).collect()
+    assert all(r["n_tokens"] > 0 for r in rows)
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert all(r["lang_pred"] in ("en", "fr", "de", "und") for r in rows)
+    assert all(0 <= r["fingerprint"] < 1_000_000_007 for r in rows)
+
+
+def test_quality_filter_monotonic(docs):
+    n_all = docs.count()
+    n_q = TA.quality_filter(docs, 0.5).count()
+    assert 0 < n_q <= n_all
+
+
+def test_multimodal_roundtrip(spark):
+    df = spark.range(0, 8).withColumnRenamed("id", "doc_id")
+    imgs = MM.attach_fake_images(df)
+    rows = imgs.collect()
+    assert all(bytes(r["image"])[:4] == b"FIMG" for r in rows)
+    feats = MM.image_features(imgs).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert 0 <= r["mean_r"] <= 255 and len(r["embedding"]) >= 3
+    resized = MM.resize_images(imgs, 4, 4).collect()
+    assert len(resized) == 8
+    import struct
+
+    for r in resized:
+        w, h, c = struct.unpack("<HHB", bytes(r["image"])[4:9])
+        assert (w, h, c) == (4, 4, 3)
+
+
+def test_multimodal_real_codec_is_stubbed(spark):
+    df = MM.attach_fake_images(spark.range(0, 1).withColumnRenamed("id", "doc_id"))
+    with pytest.raises(NotImplementedError):
+        MM.image_features(df, codec="real")
