@@ -1,0 +1,733 @@
+"""Driver-contract queries + DuckDB oracle SQL.
+
+Each entry in ``QUERIES`` is a (spark, sf_dir) → DataFrame callable
+exercising one operator family from SURVEY.md §2 over the driver's
+parquet tables; ``ORACLES`` holds the equivalent ANSI SQL DuckDB runs on
+the same tables (views pre-registered). Column names/aliases match
+exactly; doubles are rounded; outputs avoid arrays/timestamps so the
+value-hash comparison is engine-stable.
+
+Crawl-kernel queries derive deterministic URLs/links from ``doc_id``
+arithmetic so the oracle can compute EXPECTED results independently
+(direct arithmetic, not a re-implementation of our regex chains) — a
+stronger check than mirroring the implementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reffy_spark.extractors.base import extract_all
+from reffy_spark.functions.text import (
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+)
+from reffy_spark.functions.urls import host_group_col, url_canon_col
+from reffy_spark.operators import dedupe as D
+from reffy_spark.operators import frontier as FR
+from reffy_spark.operators import similarity as S
+from reffy_spark.operators import text_analysis as TA
+from reffy_spark.operators.crawler import CrawlEngine, links_long
+from reffy_spark.plans import postprocess as PP
+from reffy_spark.plans.views import headings_table
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _s(c) -> F.Column:
+    return c.cast("string")
+
+
+# ===========================================================================
+# A. Crawl kernels (derived deterministically from documents.doc_id)
+# ===========================================================================
+
+def _doc_urls(spark, sf_dir) -> DataFrame:
+    """5 URL shapes covering every canonicalization rule."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    i = _s(F.col("doc_id"))
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://www.w3.org/TR/spec-"), i, F.lit("/index.html#s"), i))
+        .when(v == 1, F.concat(F.lit("https://www.w3.org/TR/spec-"), i))
+        .when(v == 2, F.concat(F.lit("https://drafts.csswg.org/css-"), i, F.lit("/Overview.html")))
+        .when(v == 3, F.concat(F.lit("https://html.spec.whatwg.org/multipage/page-"), i, F.lit(".html")))
+        .otherwise(F.concat(F.lit("https://w3c.github.io/repo-"), i))
+    )
+    return d.withColumn("url", url)
+
+
+_DOC_URLS_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 5
+             WHEN 0 THEN 'http://www.w3.org/TR/spec-' || doc_id || '/index.html#s' || doc_id
+             WHEN 1 THEN 'https://www.w3.org/TR/spec-' || doc_id
+             WHEN 2 THEN 'https://drafts.csswg.org/css-' || doc_id || '/Overview.html'
+             WHEN 3 THEN 'https://html.spec.whatwg.org/multipage/page-' || doc_id || '.html'
+             ELSE 'https://w3c.github.io/repo-' || doc_id
+           END AS url,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://www.w3.org/TR/spec-' || doc_id || '/'
+             WHEN 1 THEN 'https://www.w3.org/TR/spec-' || doc_id || '/'
+             WHEN 2 THEN 'https://drafts.csswg.org/css-' || doc_id || '/'
+             WHEN 3 THEN 'https://html.spec.whatwg.org/'
+             ELSE 'https://w3c.github.io/repo-' || doc_id || '/'
+           END AS url_canon,
+           CASE doc_id % 5
+             WHEN 2 THEN 'csswg.org'
+             WHEN 3 THEN 'whatwg.org'
+             WHEN 4 THEN 'github.io'
+             ELSE 'www.w3.org'
+           END AS host_group
+    FROM documents
+"""
+
+
+def q_url_canon(spark, sf_dir):
+    return _doc_urls(spark, sf_dir).select(
+        "doc_id",
+        "url",
+        url_canon_col(F.col("url")).alias("url_canon"),
+        host_group_col(F.col("url")).alias("host_group"),
+    )
+
+
+ORACLE_URL_CANON = f"SELECT doc_id, url, url_canon, host_group FROM ({_DOC_URLS_SQL})"
+
+
+def q_urlseen_antijoin(spark, sf_dir):
+    """URL-seen dedup: candidates anti-joined against the seen set."""
+    urls = q_url_canon(spark, sf_dir)
+    candidates = urls.select("url_canon")
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url_canon")
+    return FR.filter_unseen(candidates, seen).distinct()
+
+
+ORACLE_URLSEEN = f"""
+    WITH u AS ({_DOC_URLS_SQL})
+    SELECT DISTINCT url_canon FROM u
+    WHERE url_canon NOT IN (SELECT url_canon FROM u WHERE doc_id % 3 = 0)
+"""
+
+
+def q_politeness_rank(spark, sf_dir):
+    """Per-host politeness budget ranking (W1): ≤budget rows per host."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    i = _s(F.col("doc_id"))
+    host = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.w3.org"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("drafts.csswg.org"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("w3c.github.io"))
+        .otherwise(F.lit("example.test"))
+    )
+    pending = (
+        d.withColumn("url_canon", F.concat(F.lit("https://"), host, F.lit("/p-"), i, F.lit("/")))
+        .withColumn("host", host)
+        .withColumn("host_group", host_group_col(F.col("url_canon")))
+        .withColumn("priority", (F.col("doc_id") % 7).cast("double"))
+        .withColumn("depth", (F.col("doc_id") % 3).cast("int"))
+    )
+    robots = spark.createDataFrame(
+        [
+            ("www.w3.org", "/", True, 1000),
+            ("drafts.csswg.org", "/", True, 2000),
+            ("w3c.github.io", "/", True, 100),
+            ("example.test", "/", True, 100),
+        ],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    return FR.politeness_rank(pending, robots, round_ms=2000).select(
+        "url_canon", "host_group", "priority", "depth", "host_fetch_rank"
+    )
+
+
+ORACLE_POLITENESS = """
+    WITH pending AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'www.w3.org' WHEN 1 THEN 'drafts.csswg.org'
+                  WHEN 2 THEN 'w3c.github.io' ELSE 'example.test' END AS host,
+             CAST(doc_id % 7 AS DOUBLE) AS priority,
+             CAST(doc_id % 3 AS INT) AS depth
+      FROM documents
+    ), rows_ AS (
+      SELECT 'https://' || host || '/p-' || doc_id || '/' AS url_canon,
+             CASE WHEN host = 'w3c.github.io' THEN 'github.io'
+                  WHEN host = 'drafts.csswg.org' THEN 'csswg.org'
+                  ELSE host END AS host_group,
+             priority, depth,
+             CASE host WHEN 'www.w3.org' THEN 2 WHEN 'drafts.csswg.org' THEN 1 ELSE 20 END AS budget
+      FROM pending
+    )
+    SELECT url_canon, host_group, priority, depth,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host_group
+                ORDER BY priority DESC, depth ASC, url_canon ASC) AS INT) AS host_fetch_rank
+    FROM rows_
+    QUALIFY host_fetch_rank <= budget
+"""
+
+
+def q_backrefs(spark, sf_dir):
+    """Flagship cross-spec backrefs join (J7) on an arithmetic link graph."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    i = _s(F.col("doc_id"))
+    dfns = d.select(
+        F.concat(F.lit("spec-"), i).alias("shortname"),
+        F.concat(
+            F.lit("https://site-"), _s(F.col("doc_id") % 20), F.lit(".test/spec-"),
+            i, F.lit("/#term-"), i,
+        ).alias("href"),
+        F.concat(F.lit("term-"), i).alias("id"),
+        F.array(F.concat(F.lit("term "), i)).alias("linkingText"),
+        F.lit("dfn").alias("type"),
+        F.array().cast("array<string>").alias("for"),
+        F.lit("public").alias("access"),
+    )
+    links = (
+        d.select("doc_id", F.explode(F.array(F.lit(7), F.lit(13), F.lit(29))).alias("m"))
+        .withColumn("t", (F.col("doc_id") * F.col("m") + F.col("m")) % n)
+        .select(
+            F.concat(F.lit("spec-"), i).alias("shortname"),
+            F.concat(
+                F.lit("https://site-"), _s(F.col("t") % 20), F.lit(".test/spec-"),
+                _s(F.col("t")), F.lit("/"),
+            ).alias("page_url"),
+            F.concat(F.lit("term-"), _s(F.col("t"))).alias("fragment"),
+        )
+    )
+    return (
+        PP.backrefs(dfns, links)
+        .select("def_shortname", "href", F.explode("referencedBy").alias("ref_shortname"))
+    )
+
+
+ORACLE_BACKREFS = """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    pairs AS (
+      SELECT DISTINCT (d.doc_id * m.m + m.m) % n.n AS t, d.doc_id AS i
+      FROM documents d, (SELECT UNNEST([7, 13, 29]) AS m) m, n
+      WHERE (d.doc_id * m.m + m.m) % n.n <> d.doc_id
+    )
+    SELECT 'spec-' || t AS def_shortname,
+           'https://site-' || (t % 20) || '.test/spec-' || t || '/#term-' || t AS href,
+           'spec-' || i AS ref_shortname
+    FROM pairs
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+ORACLE_EVENTS_ROLLUP = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+"""
+
+
+# ===========================================================================
+# B. Relational classics (perf headliners; shared with bench.py)
+# ===========================================================================
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_Q1 = """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+ORACLE_Q3 = """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+"""
+
+
+def q5_revenue_by_nation(spark, sf_dir):
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+ORACLE_Q5 = """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_nationkey = s_nationkey
+    GROUP BY n_name
+"""
+
+
+# ===========================================================================
+# C. Training-data ops over documents / embeddings
+# ===========================================================================
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(load(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+    SELECT doc_id,
+           md5(text) AS dup_group,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS is_canonical,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS group_size
+    FROM documents
+"""
+
+# shared SQL fragments for the portable hash / shingles
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _shingles_sql(n: int = 3) -> str:
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({_TOKS}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({_TOKS}, i, i + {n - 1}), ' ')))"
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    return D.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), k=16, n=3, bands=4, threshold=0.8
+    )
+
+
+def _oracle_minhash(k: int = 16, n: int = 3, bands: int = 4, threshold: float = 0.8) -> str:
+    rows = k // bands
+    mh_parts = []
+    for p in range(k):
+        hexpr = _H60.format(x="s || '#" + str(p) + "'")
+        mh_parts.append(f"list_min(list_transform(sh, s -> {hexpr})) AS mh{p}")
+    mh = ", ".join(mh_parts)
+    band_exprs = ", ".join(
+        "md5(" + " || ',' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, band{b} AS bh FROM banded" for b in range(bands)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(n)} AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, {mh} FROM sh WHERE len(sh) > 0
+    ),
+    banded AS (
+      SELECT doc_id, {band_exprs} FROM sigs
+    ),
+    stacked AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM stacked l JOIN stacked r
+        ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM cand
+    JOIN sh a ON a.doc_id = doc_a
+    JOIN sh b ON b.doc_id = doc_b
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          len(list_distinct(list_concat(a.sh, b.sh))) >= {threshold}
+    """
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), n=3, threshold=0.15
+    )
+
+
+ORACLE_NGRAM_JACCARD = f"""
+    WITH sh AS (
+      SELECT doc_id, {_shingles_sql(3)} AS sh FROM documents
+    ),
+    sized AS (SELECT doc_id, sh, len(sh) AS n_sh FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                 len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM sized a JOIN sized b
+      ON a.doc_id < b.doc_id
+     AND a.n_sh >= b.n_sh * 0.5 AND b.n_sh >= a.n_sh * 0.5
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+          len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash_table(load(spark, sf_dir, "documents"))
+
+
+def _oracle_simhash(bits: int = 32) -> str:
+    th = _H60.format(x="t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({_TOKS}, "
+        f"t -> CASE WHEN ({th} >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) >= 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM documents"
+
+
+def q_text_profile(spark, sf_dir):
+    return TA.profile_documents(load(spark, sf_dir, "documents"))
+
+
+_SW_EN = "['the','a','of','and','to','in','is','that','it','for']"
+_SW_FR = "['le','la','de','et','les','des','un','une','est','que']"
+_SW_DE = "['der','die','das','und','ist','ein','eine','zu','den','von']"
+
+
+def _sw_count(words: str) -> str:
+    return f"len(list_filter({_TOKS}, t -> list_contains({words}, t)))"
+
+
+ORACLE_TEXT_PROFILE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_TOKS}) AS n_tokens,
+             length(text) AS n_chars,
+             {_sw_count(_SW_EN)} AS sw_en,
+             {_sw_count(_SW_FR)} AS sw_fr,
+             {_sw_count(_SW_DE)} AS sw_de,
+             list_transform({_TOKS},
+               t -> (ascii(t) * 256 + least(length(t), 255))::BIGINT) AS codes
+      FROM documents
+    )
+    SELECT doc_id,
+           n_tokens::BIGINT AS n_tokens,
+           n_chars::BIGINT AS n_chars,
+           ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE n_chars::DOUBLE / n_tokens END, 6) AS mean_token_len,
+           ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+                 ELSE sw_en::DOUBLE / n_tokens END, 6) AS stopword_ratio,
+           ROUND(((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN n_tokens > 0 AND n_chars::DOUBLE / n_tokens
+                        BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                + (CASE WHEN n_tokens > 0 AND sw_en::DOUBLE / n_tokens >= 0.01
+                        THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+           CASE WHEN sw_en >= sw_fr AND sw_en >= sw_de AND sw_en > 0 THEN 'en'
+                WHEN sw_fr >= sw_de AND sw_fr > 0 THEN 'fr'
+                WHEN sw_de > 0 THEN 'de' ELSE 'und' END AS lang_pred,
+           list_reduce(list_prepend(0::BIGINT, codes),
+                       (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+    FROM base
+"""
+
+
+def q_lang_rollup(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        lang_id_col(F.col("text")).alias("lang_pred"),
+        quality_score_col(F.col("text")).alias("q"),
+        fingerprint_col(F.col("text")).alias("fp"),
+    ).groupBy("lang_pred").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.countDistinct("fp").alias("n_distinct_fingerprints"),
+    )
+
+
+ORACLE_LANG_ROLLUP = f"""
+    WITH p AS ({ORACLE_TEXT_PROFILE})
+    SELECT lang_pred, COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           COUNT(DISTINCT fingerprint) AS n_distinct_fingerprints
+    FROM p GROUP BY lang_pred
+"""
+
+
+_COS = (
+    "ROUND(list_sum(list_transform(range(1, 65), "
+    "i -> (a.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE))) / "
+    "(sqrt(list_sum(list_transform(range(1, 65), i -> (a.embedding[i]::DOUBLE) * (a.embedding[i]::DOUBLE)))) * "
+    "sqrt(list_sum(list_transform(range(1, 65), i -> (b.embedding[i]::DOUBLE) * (b.embedding[i]::DOUBLE))))), 6)"
+)
+
+
+def q_knn_brute(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return S.pairwise_topk_join(queries, emb, k=3)
+
+
+ORACLE_KNN = f"""
+    SELECT id_a, id_b, cosine, rank FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                  ORDER BY {_COS} DESC, b.vec_id) AS INT) AS rank
+      FROM embeddings a JOIN embeddings b ON a.vec_id % 25 = 0
+    ) WHERE rank <= 3
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return S.cosine_topk(emb, list(q0), k=10)
+
+
+ORACLE_COSINE_TOPK = f"""
+    SELECT b.vec_id AS vec_id, {_COS} AS cosine
+    FROM embeddings b JOIN embeddings a ON a.vec_id = 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+
+# ===========================================================================
+# D. Extraction UDFs validated against arithmetic oracles
+# ===========================================================================
+
+
+def _synth_pages(spark, sf_dir) -> DataFrame:
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    i = _s(F.col("doc_id"))
+    t1 = _s((F.col("doc_id") + 1) % n)
+    t2 = _s((F.col("doc_id") * 2 + 3) % n)
+    html = F.concat(
+        F.lit('<h2 id="intro-'), i, F.lit('">1. Introduction</h2>'),
+        F.lit('<h3 id="detail-'), i, F.lit('">1.1 Details '), i, F.lit("</h3>"),
+        F.lit('<p><a href="https://t'), t1, F.lit('.test/page#f'), t1, F.lit('">r</a></p>'),
+        F.lit('<p><a href="https://t'), t2, F.lit('.test/page#f'), t2,
+        F.lit('" data-link-type="dfn">a</a></p>'),
+    )
+    url = F.concat(F.lit("https://docs.test/d"), i, F.lit("/"))
+    return d.select(F.col("doc_id"), url.alias("url"), html.alias("html"))
+
+
+def q_extract_headings(spark, sf_dir):
+    pages = _synth_pages(spark, sf_dir)
+    extracts = extract_all(pages, ["headings"])
+    return headings_table(extracts).select("url", "id", "href", "title", "level", "number")
+
+
+ORACLE_EXTRACT_HEADINGS = """
+    WITH base AS (SELECT doc_id, 'https://docs.test/d' || doc_id || '/' AS url FROM documents)
+    SELECT url, 'intro-' || doc_id AS id, url || '#intro-' || doc_id AS href,
+           'Introduction' AS title, 2 AS level, '1' AS number
+    FROM base
+    UNION ALL
+    SELECT url, 'detail-' || doc_id AS id, url || '#detail-' || doc_id AS href,
+           'Details ' || doc_id AS title, 3 AS level, '1.1' AS number
+    FROM base
+"""
+
+
+def q_extract_links(spark, sf_dir):
+    pages = _synth_pages(spark, sf_dir)
+    extracts = extract_all(pages, ["links"]).withColumnRenamed("url", "url_canon")
+    return links_long(extracts).select(
+        F.col("url_canon").alias("url"), "page_url", "fragment", "is_autolink"
+    )
+
+
+ORACLE_EXTRACT_LINKS = """
+    WITH n AS (SELECT COUNT(*) AS n FROM documents),
+    base AS (
+      SELECT doc_id, 'https://docs.test/d' || doc_id || '/' AS url,
+             (doc_id + 1) % n.n AS t1, (doc_id * 2 + 3) % n.n AS t2
+      FROM documents, n
+    )
+    SELECT url, 'https://t' || t1 || '.test/page' AS page_url,
+           'f' || t1 AS fragment, FALSE AS is_autolink FROM base
+    UNION ALL
+    SELECT url, 'https://t' || t2 || '.test/page' AS page_url,
+           'f' || t2 AS fragment, TRUE AS is_autolink FROM base
+"""
+
+
+# ===========================================================================
+# E. Crawl replay (non-SQL-expressible: BSP loop + UDF extraction)
+# ===========================================================================
+
+
+def build_crawl_world(spark, sf_dir):
+    """Deterministic mini-web derived from the documents table."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    i = _s(F.col("doc_id"))
+    host = F.concat(F.lit("h"), _s(F.col("doc_id") % 8), F.lit(".test"))
+    url = F.concat(F.lit("https://"), host, F.lit("/spec-"), i, F.lit("/"))
+    t1 = _s((F.col("doc_id") * 7 + 7) % n)
+    t2 = _s((F.col("doc_id") * 13 + 13) % n)
+    html = F.concat(
+        F.lit("<title>Doc "), i, F.lit("</title><h2 id='s'>1. Intro</h2><p>"),
+        F.col("text"), F.lit("</p>"),
+        F.lit('<a href="https://h'), _s(((F.col("doc_id") * 7 + 7) % n) % 8),
+        F.lit(".test/spec-"), t1, F.lit('/#x">l1</a>'),
+        F.lit('<a href="https://h'), _s(((F.col("doc_id") * 13 + 13) % n) % 8),
+        F.lit(".test/spec-"), t2, F.lit('/#y">l2</a>'),
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.to_timestamp(F.lit("2024-01-01")).alias("warc_ts"),
+        html.cast("binary").alias("html"),
+        F.col("text"),
+        F.lit("en").alias("lang"),
+    )
+    seeds = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(
+            (F.col("doc_id") / 25).cast("int").alias("seed_idx"),
+            url.alias("url"),
+        )
+    )
+    robots = spark.createDataFrame(
+        [(f"h{k}.test", "/", True, 100 if k else 1000) for k in range(8)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    return pages, seeds, robots
+
+
+def q_crawl_replay(spark, sf_dir):
+    """Seed-list replay for 3 rounds — the flagship pipeline. Rows-only
+    check (BSP loop + Arrow extraction is not single-statement SQL)."""
+    pages, seeds, robots = build_crawl_world(spark, sf_dir)
+    eng = CrawlEngine(spark, pages, robots, modules=["links", "title"], collect_metrics=False)
+    res = eng.crawl(seeds, max_rounds=3)
+    return res.results.select(
+        "url_canon", "round", "host_group", "host_fetch_rank", "status", "depth"
+    )
+
+
+# ===========================================================================
+# Registry
+# ===========================================================================
+
+QUERIES = {
+    "url_canon": q_url_canon,
+    "urlseen_antijoin": q_urlseen_antijoin,
+    "politeness_rank": q_politeness_rank,
+    "backrefs": q_backrefs,
+    "events_rollup": q_events_rollup,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue": q3_top_revenue,
+    "q5_revenue_by_nation": q5_revenue_by_nation,
+    "dedup_exact": q_dedup_exact,
+    "minhash_pairs": q_minhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "text_profile": q_text_profile,
+    "lang_rollup": q_lang_rollup,
+    "knn_brute": q_knn_brute,
+    "cosine_topk": q_cosine_topk,
+    "extract_headings": q_extract_headings,
+    "extract_links": q_extract_links,
+    "crawl_replay": q_crawl_replay,
+}
+
+ORACLES = {
+    "url_canon": ORACLE_URL_CANON,
+    "urlseen_antijoin": ORACLE_URLSEEN,
+    "politeness_rank": ORACLE_POLITENESS,
+    "backrefs": ORACLE_BACKREFS,
+    "events_rollup": ORACLE_EVENTS_ROLLUP,
+    "q1_pricing_summary": ORACLE_Q1,
+    "q3_top_revenue": ORACLE_Q3,
+    "q5_revenue_by_nation": ORACLE_Q5,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "minhash_pairs": _oracle_minhash(),
+    "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "simhash": _oracle_simhash(),
+    "text_profile": ORACLE_TEXT_PROFILE,
+    "lang_rollup": ORACLE_LANG_ROLLUP,
+    "knn_brute": ORACLE_KNN,
+    "cosine_topk": ORACLE_COSINE_TOPK,
+    "extract_headings": ORACLE_EXTRACT_HEADINGS,
+    "extract_links": ORACLE_EXTRACT_LINKS,
+    # crawl_replay: intentionally no oracle (BSP loop + UDF extraction);
+    # driver records a rows-only check.
+}
