@@ -79,25 +79,41 @@ def extract_all(
     modules: list[str] | None = None,
     url_col: str = "url",
     html_col: str = "html",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """Distributed extraction: Arrow-batched, one parse per page.
 
-    Returns ``url`` plus one JSON-string column per module. Column pruning
-    upstream is automatic (only ``url`` and ``html`` are read from the
-    scan); module gating is explicit (``--terse`` analog — SURVEY.md §4).
+    Returns ``url`` (+ any ``passthrough`` columns, copied through the
+    Arrow stage — cheaper than a join-back shuffle for scalar metadata)
+    plus one JSON-string column per module. Column pruning upstream is
+    automatic; module gating is explicit (``--terse`` analog, SURVEY.md §4).
     """
     modules = modules or CORE_MODULES
-    schema = "url string, " + ", ".join(f"{m} string" for m in modules)
+    passthrough = [c for c in (passthrough or []) if c not in (url_col, html_col)]
+    pt_ddl = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in pages.schema.fields
+        if f.name in passthrough
+    )
+    schema = f"{url_col} string" + pt_ddl + ", " + ", ".join(
+        f"{m} string" for m in modules
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            recs = []
+            extracted: dict[str, list] = {m: [] for m in modules}
             for url, html in zip(b[url_col], b[html_col]):
                 res = extract_page(html, url, modules)
-                row = {"url": url}
                 for m in modules:
-                    row[m] = json.dumps(res[m], ensure_ascii=False, sort_keys=False)
-                recs.append(row)
-            yield pd.DataFrame(recs, columns=["url"] + modules)
+                    extracted[m].append(
+                        json.dumps(res[m], ensure_ascii=False, sort_keys=False)
+                    )
+            out = pd.DataFrame({url_col: b[url_col].values})
+            for c in passthrough:
+                out[c] = b[c].values
+            for m in modules:
+                out[m] = extracted[m]
+            yield out
 
-    return pages.select(url_col, html_col).mapInPandas(run, schema)
+    cols = [url_col, html_col] + passthrough
+    return pages.select(*cols).mapInPandas(run, schema)

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reffy_spark.extractors.base import extract_all
-from reffy_spark.functions.urls import with_url_canon
+from reffy_spark.functions.urls import host_col, host_group_col, with_url_canon
 from reffy_spark.operators import frontier as FR
 
 
@@ -52,7 +52,7 @@ class RoundMetrics:
 
 @dataclass
 class CrawlResult:
-    results: DataFrame  # url_canon, url, seed_idx, depth, round, host_fetch_rank, status, + extract cols
+    results: DataFrame  # url_canon, seed_idx, depth, round, host_fetch_rank, host, host_group, status, + extract cols (original url stays on the frontier/batch checkpoints)
     url_seen: DataFrame  # url_canon, first_round
     links: DataFrame | None  # url_canon, page_url, fragment, is_autolink
     metrics: list[RoundMetrics] = field(default_factory=list)
@@ -69,14 +69,36 @@ class CrawlEngine:
         modules: list[str] | None = None,
         use_bloom: bool = True,
         collect_metrics: bool = True,
+        discover: bool = True,
+        assume_canonical_unique: bool = False,
+        broadcast_batch: bool = True,
     ):
+        # discover=False is pure seed-list replay — the reference's own
+        # semantics (crawlList maps over the fixed list exactly once and
+        # never enqueues, specs-crawler.js:473-479). discover=True is the
+        # general-frontier extension.
+        #
+        # assume_canonical_unique=True skips the freshest-capture dedup
+        # when the input pages table is already keyed by url_canon (the
+        # production shape: an Iceberg table MERGEd on url_canon) — the
+        # fetch join then needs no shuffle of the pages side at all.
+        #
+        # broadcast_batch=True broadcasts the round's batch into the fetch
+        # join (the batch is bounded by sum-of-politeness-budgets, so it is
+        # small relative to the pages table); set False on huge-budget
+        # crawls to let Catalyst/AQE pick the strategy.
         self.spark = spark
         self.robots = robots
         self.checkpoint_dir = checkpoint_dir
         self.round_ms = round_ms
-        self.modules = modules or ["links"]
+        self.modules = list(modules or ["links"])
+        if discover and "links" not in self.modules:
+            # discovery is driven by extracted links; without the module
+            # the round loop would have no outgoing edges to enqueue
+            self.modules.append("links")
         self.use_bloom = use_bloom
         self.collect_metrics = collect_metrics
+        self.discover = discover
         # Canonicalize the pages table once. Canonical keys must be unique
         # for the fetch join: distinct raw URLs can collapse to one
         # canonical URL (e.g. whatwg multipage → root); keep the freshest
@@ -86,17 +108,26 @@ class CrawlEngine:
         # pages table bucketed by url_canon so the per-round fetch join is
         # shuffle-free on the pages side.
         pc = with_url_canon(pages).withColumnRenamed("url", "page_url")
-        order = (
-            [F.col("warc_ts").desc(), F.col("page_url").desc()]
-            if "warc_ts" in pc.columns
-            else [F.col("page_url").desc()]
-        )
-        w = Window.partitionBy("url_canon").orderBy(*order)
-        self.pages = (
-            pc.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        if assume_canonical_unique:
+            self.pages = pc.select("url_canon", "page_url", "html")
+        else:
+            # max_by keeps the aggregation partial (map-side combine) — a
+            # row_number window would force a full sort of the pages
+            # table. A production crawl writes this once as an Iceberg
+            # table bucketed by url_canon; recomputing the expression
+            # chain per round is cheap (measured: persist() cost 4× the
+            # recompute locally).
+            order_cols = [c for c in ("warc_ts", "page_url") if c in pc.columns]
+            self.pages = (
+                pc.groupBy("url_canon")
+                .agg(
+                    F.max_by(
+                        F.struct("page_url", "html"), F.struct(*order_cols)
+                    ).alias("_best")
+                )
+                .select("url_canon", "_best.page_url", "_best.html")
+            )
+        self.broadcast_batch = broadcast_batch
 
     # ------------------------------------------------------------------
     def crawl(self, seeds: DataFrame, max_rounds: int = 10) -> CrawlResult:
@@ -164,60 +195,103 @@ class CrawlEngine:
             if frontier.isEmpty():
                 break
 
-            batch = FR.politeness_rank(frontier, self.robots, self.round_ms)
+            # materialize the round's batch once: it feeds the fetch join,
+            # the frontier anti-join, and the metrics (3 consumers)
+            batch = self._materialize(
+                FR.politeness_rank(frontier, self.robots, self.round_ms), "batch", rnd
+            )
 
             # ---- fetch: join batch to pages on url_canon ----------------
-            fetched = batch.join(
-                self.pages.select("url_canon", "html"),
-                on="url_canon",
-                how="left",
-            ).withColumn(
-                "status",
-                F.when(F.col("html").isNotNull(), F.lit("ok")).otherwise(
-                    F.lit("notfound")
-                ),
+            # The batch is budget-bounded → broadcast it; the pages side
+            # then never shuffles (production: Iceberg data-skipping on
+            # the broadcast keys prunes file scans too). "Misses" are a
+            # separate keys-only anti-join so no html column rides along.
+            batch_b = F.broadcast(batch) if self.broadcast_batch else batch
+            fetched_ok = self.pages.select("url_canon", "html").join(
+                batch_b, on="url_canon", how="inner"
             )
 
             # ---- extract: one Arrow pass, all requested modules ---------
-            # Salting happens here: repartition by url hash spreads a hot
-            # host's pages across the cluster; fetch ordering metadata
-            # (host_fetch_rank) was already assigned above, so politeness
-            # accounting is unaffected (SURVEY.md §7.3 risk 4).
-            ok = fetched.filter(F.col("status") == "ok").repartition(
-                self.spark.sparkContext.defaultParallelism, "url_canon"
+            # The fetch join's output partitioning already spreads pages
+            # uniformly by url hash — a hot host's pages do NOT stay on
+            # one executor (salting by construction; politeness metadata
+            # host_fetch_rank was assigned before, so budgets hold —
+            # SURVEY.md §7.3 risk 4). NUMERIC row metadata rides through
+            # the Arrow stage (passthrough) — no join-back shuffle of fat
+            # JSON; string metadata (host, host_group) is re-derived from
+            # url_canon JVM-side instead (string columns through Arrow
+            # measured ~40% of the whole extraction stage).
+            meta_cols = [
+                c
+                for c in (
+                    "seed_idx", "depth", "priority",
+                    "round_discovered", "host_fetch_rank",
+                )
+                if c in batch.columns
+            ]
+            extracts = (
+                extract_all(
+                    fetched_ok,
+                    self.modules,
+                    url_col="url_canon",
+                    html_col="html",
+                    passthrough=meta_cols,
+                )
+                .withColumn("host", host_col(F.col("url_canon")))
+                .withColumn("host_group", host_group_col(F.col("url_canon")))
+                .withColumn("status", F.lit("ok"))
             )
-            extracts = extract_all(
-                ok, self.modules, url_col="url_canon", html_col="html"
-            ).withColumnRenamed("url", "url_canon")
+            notfound = batch.join(
+                self.pages.select("url_canon"), on="url_canon", how="left_anti"
+            ).withColumn("status", F.lit("notfound"))
+            for m in self.modules:
+                notfound = notfound.withColumn(m, F.lit(None).cast("string"))
             round_results = (
-                fetched.drop("html")
-                .join(extracts, on="url_canon", how="left")
+                extracts.unionByName(notfound.select(*extracts.columns))
                 .withColumn("round", F.lit(rnd))
             )
-            round_results = self._materialize(round_results, "results", rnd)
+            # Materialize only when the round's results have multiple
+            # consumers (discovery, metrics) or must be durable; a pure
+            # replay streams extraction straight into the caller's action.
+            if self.discover or self.collect_metrics or self.checkpoint_dir:
+                round_results = self._materialize(round_results, "results", rnd)
             all_results.append(round_results)
 
             # ---- discover: outgoing links → candidate frontier rows -----
-            discovered = links_long(round_results.filter(F.col("status") == "ok"))
-            candidates = discovered.select(
-                F.col("page_url").alias("url")
-            ).withColumn("seed_idx", F.lit(None).cast("int"))
-            next_depth = F.lit(rnd)  # BFS depth == first reachable round
-            cand = FR.to_frontier(candidates, depth_col=next_depth, round_no=rnd)
-            cand = FR.apply_robots(cand, self.robots)
+            if self.discover:
+                discovered = links_long(round_results.filter(F.col("status") == "ok"))
+                candidates = discovered.select(
+                    F.col("page_url").alias("url")
+                ).withColumn("seed_idx", F.lit(None).cast("int"))
+                next_depth = F.lit(rnd)  # BFS depth == first reachable round
+                cand = FR.to_frontier(candidates, depth_col=next_depth, round_no=rnd)
+                cand = FR.apply_robots(cand, self.robots)
 
-            bloom = FR.build_bloom(seen) if self.use_bloom else None
-            new_urls = FR.filter_unseen(cand, seen, bloom=bloom)
+                bloom = FR.build_bloom(seen) if self.use_bloom else None
+                # materialize once: new_urls feeds BOTH the frontier merge
+                # and the seen-set update; without this the whole discovery
+                # plan (explode links → canonicalize → dedup → robots →
+                # anti-join) re-executes per consumer.
+                new_urls = FR.filter_unseen(cand, seen, bloom=bloom).localCheckpoint(
+                    eager=True
+                )
+            else:
+                candidates = None
+                new_urls = None
 
             # ---- commit round: update frontier + seen -------------------
             frontier = frontier.join(
                 batch.select("url_canon"), on="url_canon", how="left_anti"
-            ).unionByName(new_urls.select(*frontier.columns))
-            seen = seen.unionByName(
-                new_urls.select("url_canon", F.lit(rnd).alias("first_round"))
             )
+            if new_urls is not None:
+                frontier = frontier.unionByName(new_urls.select(*frontier.columns))
+                seen = seen.unionByName(
+                    new_urls.select("url_canon", F.lit(rnd).alias("first_round"))
+                )
+                seen = self._materialize(seen, "seen", rnd)
+            elif self.checkpoint_dir:
+                seen = self._materialize(seen, "seen", rnd)
             frontier = self._materialize(frontier, "frontier", rnd)
-            seen = self._materialize(seen, "seen", rnd)
 
             # ---- lineage metrics ----------------------------------------
             if self.collect_metrics:
@@ -226,8 +300,8 @@ class CrawlEngine:
                     selected=batch.count(),
                     fetched=round_results.filter(F.col("status") == "ok").count(),
                     errors=round_results.filter(F.col("status") != "ok").count(),
-                    discovered=candidates.count(),
-                    new_urls=new_urls.count(),
+                    discovered=candidates.count() if candidates is not None else 0,
+                    new_urls=new_urls.count() if new_urls is not None else 0,
                     per_host_group={
                         r["host_group"]: r["n"]
                         for r in batch.groupBy("host_group")

@@ -65,10 +65,11 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_sig_cols(text: Column, k: int = 16, n: int = 3) -> list[Column]:
-    """k MinHash values, each the min over shingles of a salted 60-bit
-    md5 hash. Pure expressions: k × |shingles| hashes computed JVM-side."""
-    sh = shingles_col(text, n)
+def minhash_from_shingles(sh: Column, k: int = 16) -> list[Column]:
+    """k MinHash values over a (pre-computed) shingles column: min over
+    shingles of a salted 60-bit md5 hash. The shingles MUST be a plain
+    column reference, not an expression — otherwise every permutation
+    re-evaluates the tokenize+shingle pipeline (16× blowup)."""
     return [
         F.array_min(
             F.transform(sh, lambda s, p=p: h60(F.concat(s, F.lit(f"#{p}"))))
@@ -81,10 +82,13 @@ def minhash_signatures(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16, n: int = 3
 ) -> DataFrame:
     """doc_id + mh0..mh{k-1}; docs with fewer than n tokens are dropped
-    (no shingles → no signature)."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"), *minhash_sig_cols(F.col(text_col), k, n)
-    ).filter(F.col("mh0").isNotNull())
+    (no shingles → no signature). Shingles are materialized once into a
+    column so the k permutations share the work (manual CSE — Catalyst
+    does not eliminate common subexpressions across lambda functions)."""
+    sh_df = docs.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
+    ).filter(F.size("sh") > 0)
+    return sh_df.select("doc_id", *minhash_from_shingles(F.col("sh"), k))
 
 
 def lsh_candidate_pairs(

@@ -150,12 +150,17 @@ def to_frontier(df: DataFrame, depth_col=None, priority_col=None, round_no: int 
         else F.lit(1.0) / (F.col("depth") + F.lit(1.0)),
     )
     out = out.withColumn("round_discovered", F.lit(round_no))
-    # within-batch dedup: lowest (depth, url) wins per canonical URL
-    w = Window.partitionBy("url_canon").orderBy("depth", "url")
+    # within-batch dedup: lowest (depth, url) wins per canonical URL.
+    # min_by instead of a row_number window: partial aggregation combines
+    # map-side, so the shuffle carries one row per canonical URL instead
+    # of the full candidate multiset (link graphs are highly redundant).
+    payload = [c for c in out.columns if c != "url_canon"]
     return (
-        out.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        out.groupBy("url_canon")
+        .agg(
+            F.min_by(F.struct(*payload), F.struct("depth", "url")).alias("_best")
+        )
+        .select("url_canon", *[F.col(f"_best.{c}").alias(c) for c in payload])
     )
 
 
@@ -167,33 +172,38 @@ def to_frontier(df: DataFrame, depth_col=None, priority_col=None, round_no: int 
 def apply_robots(frontier: DataFrame, robots: DataFrame) -> DataFrame:
     """Keep rows allowed by the longest-matching path-prefix rule.
 
-    The robots table is small (one row per host×prefix): broadcast join.
-    Hosts with no rule at all are allowed (crawl_delay falls back later).
+    The robots table is small: aggregate it to one rule-array per host,
+    broadcast-join on host (no shuffle of the frontier side), and
+    evaluate longest-prefix-wins as an array expression — zero windows,
+    zero extra shuffles. Hosts with no rule at all are allowed.
     """
     path = F.regexp_extract(F.col("url_canon"), r"^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    rules = robots.select(
-        F.col("host").alias("_r_host"),
-        F.col("path_prefix").alias("_r_prefix"),
-        F.col("allow").alias("_r_allow"),
+    rules_per_host = robots.groupBy("host").agg(
+        F.collect_list(F.struct("path_prefix", "allow")).alias("_rules")
     )
     joined = frontier.withColumn("_path", path).join(
-        F.broadcast(rules),
-        (F.col("host") == F.col("_r_host"))
-        & F.col("_path").startswith(F.col("_r_prefix")),
-        "left",
+        F.broadcast(rules_per_host), on="host", how="left"
     )
-    w = Window.partitionBy("url_canon").orderBy(
-        F.length(F.col("_r_prefix")).desc_nulls_last()
+    matching = F.filter(
+        F.coalesce(
+            F.col("_rules"),
+            F.array().cast("array<struct<path_prefix:string,allow:boolean>>"),
+        ),
+        lambda r: F.col("_path").startswith(r["path_prefix"]),
     )
-    best = (
-        joined.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    best = F.array_max(
+        F.transform(
+            matching,
+            lambda r: F.struct(
+                F.length(r["path_prefix"]).alias("l"), r["allow"].alias("allow")
+            ),
+        )
     )
     return (
-        best.filter(F.coalesce(F.col("_r_allow"), F.lit(True)))
-        .drop("_path", "_r_host", "_r_prefix", "_r_allow")
+        joined.withColumn("_allow", F.coalesce(best["allow"], F.lit(True)))
+        .filter(F.col("_allow"))
+        .drop("_path", "_rules", "_allow")
     )
 
 

@@ -641,15 +641,18 @@ def build_crawl_world(spark, sf_dir):
     i = _s(F.col("doc_id"))
     host = F.concat(F.lit("h"), _s(F.col("doc_id") % 8), F.lit(".test"))
     url = F.concat(F.lit("https://"), host, F.lit("/spec-"), i, F.lit("/"))
-    t1 = _s((F.col("doc_id") * 7 + 7) % n)
-    t2 = _s((F.col("doc_id") * 13 + 13) % n)
+    link_parts = []
+    for m in (7, 13, 29, 41):
+        t = (F.col("doc_id") * m + m) % n
+        link_parts.extend(
+            [
+                F.lit('<a href="https://h'), _s(t % 8), F.lit(".test/spec-"),
+                _s(t), F.lit('/#x">l</a>'),
+            ]
+        )
     html = F.concat(
         F.lit("<title>Doc "), i, F.lit("</title><h2 id='s'>1. Intro</h2><p>"),
-        F.col("text"), F.lit("</p>"),
-        F.lit('<a href="https://h'), _s(((F.col("doc_id") * 7 + 7) % n) % 8),
-        F.lit(".test/spec-"), t1, F.lit('/#x">l1</a>'),
-        F.lit('<a href="https://h'), _s(((F.col("doc_id") * 13 + 13) % n) % 8),
-        F.lit(".test/spec-"), t2, F.lit('/#y">l2</a>'),
+        F.col("text"), F.lit("</p>"), *link_parts,
     )
     pages = d.select(
         url.alias("url"),
@@ -676,7 +679,18 @@ def q_crawl_replay(spark, sf_dir):
     """Seed-list replay for 3 rounds — the flagship pipeline. Rows-only
     check (BSP loop + Arrow extraction is not single-statement SQL)."""
     pages, seeds, robots = build_crawl_world(spark, sf_dir)
-    eng = CrawlEngine(spark, pages, robots, modules=["links", "title"], collect_metrics=False)
+    # round_ms=60s politeness window → large rounds (the BSP sweet spot:
+    # round overhead amortizes over the per-round batch); bloom off — the
+    # broadcast bloom only pays for itself once the seen set is large.
+    eng = CrawlEngine(
+        spark,
+        pages,
+        robots,
+        modules=["links", "title"],
+        collect_metrics=False,
+        use_bloom=False,
+        round_ms=60_000,
+    )
     res = eng.crawl(seeds, max_rounds=3)
     return res.results.select(
         "url_canon", "round", "host_group", "host_fetch_rank", "status", "depth"
