@@ -41,6 +41,7 @@ MODULES: dict[str, tuple[bool, Callable]] = {
     "elements": (False, _m.extract_elements),
     "events": (False, _m.extract_events),
     "algorithms": (False, _m.extract_algorithms),
+    "css": (False, _m.extract_css),
 }
 
 CORE_MODULES = list(MODULES)

@@ -847,3 +847,281 @@ def extract_algorithms(ctx) -> list[dict]:
             rec["steps"] = steps_of(ol)
         out.append(rec)
     return out
+
+
+# ---------------------------------------------------------------------------
+# css (extract-cssdfn.mjs — core subset)
+# ---------------------------------------------------------------------------
+
+
+def _css_normalize(value: str) -> str:
+    """normalize + minus-sign fix (extract-cssdfn.mjs:365)."""
+    return re.sub(r"\s+", " ", value.strip()).replace("−", "-")
+
+
+def _dfn_label_to_property(label: str) -> str:
+    """CSS table row label → lowerCamel key (extract-cssdfn.mjs:375-384)."""
+    words = label.strip().replace(":", "", 1).split()
+    if not words:
+        return ""
+    out = words[0].lower() + "".join(w[:1].upper() + w[1:] for w in words[1:])
+    return re.sub(r"^newValue$", "newValues", out)
+
+
+_CSS_ASIDE = "aside, .mdn-anno, .wpt-tests-block"
+
+
+def _extract_table_dfns(table: Element, ctx) -> list[dict]:
+    """table.propdef/descdef extraction (extract-cssdfn.mjs:407-458)."""
+    res: list[dict] = []
+    props: list[tuple[str, str]] = []
+    for line in table.query_all("tr"):
+        cells = line.child_elements()
+        if not cells:
+            continue
+        name_el = cells[0]
+        tds = [c for c in cells if c.tag == "td"]
+        value_el = tds[-1] if tds else None
+        if value_el is None:
+            continue
+        prop_name = _dfn_label_to_property(clean_text(name_el, _CSS_ASIDE))
+        if prop_name == "name":
+            dfns = value_el.query_all("dfn[id]")
+            if dfns:
+                res = [
+                    {"name": _css_normalize(d.text), "href": get_absolute_url(d, ctx)}
+                    for d in dfns
+                ]
+            else:
+                value = _css_normalize(clean_text(value_el, _CSS_ASIDE))
+                res = [{"name": n.strip()} for n in value.split(",")]
+        elif prop_name:
+            props.append((prop_name, _css_normalize(clean_text(value_el, _CSS_ASIDE))))
+    for dfn in res:
+        for k, v in props:
+            dfn[k] = v
+    return res
+
+
+def _extract_dl_dfns(dl: Element, ctx) -> list[dict]:
+    """Legacy div.propdef dl form (extract-cssdfn.mjs:470-506)."""
+    res: list[dict] = []
+    first_dt = next((c for c in dl.child_elements() if c.tag == "dt"), None)
+    if first_dt is None:
+        return res
+    dfns = first_dt.query_all("dfn[id]") + [
+        a for a in first_dt.query_all("a[name]") if not a.id
+    ]
+    if dfns:
+        res = [
+            {
+                "name": _css_normalize(d.text.replace("'", "")),
+                "href": get_absolute_url(d, ctx, attribute="id" if d.id else "name"),
+            }
+            for d in dfns
+        ]
+    elif first_dt.id:
+        res = [
+            {
+                "name": _css_normalize(first_dt.text.replace("'", "")),
+                "href": get_absolute_url(first_dt, ctx),
+            }
+        ]
+    else:
+        res = [
+            {"name": _css_normalize(n.replace("'", ""))}
+            for n in first_dt.text.split(",")
+        ]
+    props = []
+    for line in dl.query_all("dd table tr"):
+        cells = line.child_elements()
+        tds = [c for c in cells if c.tag == "td"]
+        if cells and tds:
+            props.append(
+                (
+                    _dfn_label_to_property(cells[0].text),
+                    _css_normalize(tds[-1].text),
+                )
+            )
+    for dfn in res:
+        for k, v in props:
+            dfn[k] = v
+    return res
+
+
+def _merge_css_dfns(dfn1: dict, dfn2: dict) -> dict | None:
+    """mergeDfns (extract-cssdfn.mjs:517-544)."""
+    if dfn1["name"] != dfn2["name"]:
+        return None
+    if dfn1.get("value") and dfn2.get("value"):
+        return None
+    base, partial = (dfn2, dfn1) if dfn2.get("value") else (dfn1, dfn2)
+    if (
+        (not base.get("value") and not base.get("newValues"))
+        or not partial.get("newValues")
+        or (partial.get("initial") and partial.get("initial") != base.get("initial"))
+    ):
+        return None
+    merged = dict(base)
+    if merged.get("value"):
+        merged["value"] += f" | {_css_normalize(partial['newValues'])}"
+    else:
+        merged["newValues"] += f" | {_css_normalize(partial['newValues'])}"
+    return merged
+
+
+def _extract_css_dfns(ctx, els, extractor, duplicates, keep_type, warnings):
+    """extractDfns driver with merge/push/reject strategies
+    (extract-cssdfn.mjs:556-607)."""
+    res: list = []
+    for el in els:
+        if is_informative(el):
+            continue
+        if el.query("ins, del") is not None:
+            continue
+        dfns = extractor(el, ctx)
+        if not isinstance(dfns, list):
+            dfns = [dfns]
+        for dfn in dfns:
+            if not dfn or not dfn.get("name"):
+                continue
+            if dfn.get("type") and not keep_type:
+                del dfn["type"]
+            idx = next(
+                (
+                    i
+                    for i, e in enumerate(res)
+                    if (e[0]["name"] if duplicates == "push" else e["name"])
+                    == dfn["name"]
+                ),
+                -1,
+            )
+            if idx >= 0:
+                if duplicates == "merge":
+                    merged = _merge_css_dfns(res[idx], dfn)
+                    if merged:
+                        res[idx] = merged
+                    else:
+                        warnings.append({"msg": "Unmergeable definition", **dfn})
+                elif duplicates == "push":
+                    res[idx].append(dfn)
+                    warnings.append({"msg": "Duplicate definition", **dfn})
+                else:
+                    warnings.append({"msg": "Duplicate definition", **dfn})
+            else:
+                res.append([dfn] if duplicates == "push" else dfn)
+    return res
+
+
+def _typed_dfn_extractor(el: Element, ctx) -> dict:
+    """extractTypedDfns subset: name/href/type/for (prose/value parsing of
+    surrounding production rules is a TODO(parity) — extract-cssdfn.mjs
+    pre.prod handling)."""
+    d = {
+        "name": _css_normalize(el.text),
+        "href": get_absolute_url(el, ctx),
+        "type": el.get("data-dfn-type"),
+    }
+    if el.get("data-dfn-for"):
+        d["for"] = normalize(el.get("data-dfn-for"))
+    return d
+
+
+def extract_css(ctx) -> dict:
+    """extract-cssdfn.mjs core: propdef/descdef tables, typed dfns,
+    descriptor→at-rule attachment, dup strategies, warnings.
+    TODO(parity): production-rule parsing (pre.prod), legacy-alias
+    properties, parents index / deepest-construct scoping (A8)."""
+    warnings: list[dict] = []
+    root = ctx.root
+
+    def typed(selector_types, require_no_for=True, require_export=False):
+        out = []
+        for tag in ("dfn", "h2", "h3", "h4", "h5", "h6"):
+            for el in root.query_all(f"{tag}[data-dfn-type]"):
+                if el.get("data-dfn-type") not in selector_types:
+                    continue
+                if require_export and el.get("data-export") is None:
+                    continue
+                f = el.get("data-dfn-for")
+                if require_no_for and f not in (None, ""):
+                    continue
+                if not require_no_for and f in (None, ""):
+                    continue
+                out.append(el)
+        return sorted(out, key=lambda e: e.pos)
+
+    props = _extract_css_dfns(
+        ctx,
+        [t for t in root.query_all("table.propdef") if not t.has_class("attrdef")],
+        _extract_table_dfns,
+        "merge",
+        False,
+        warnings,
+    )
+    atrules = _extract_css_dfns(
+        ctx, typed({"at-rule"}), _typed_dfn_extractor, "reject", False, warnings
+    )
+    selectors = _extract_css_dfns(
+        ctx,
+        typed({"selector"}, require_export=True),
+        _typed_dfn_extractor,
+        "reject",
+        False,
+        warnings,
+    )
+    values = _extract_css_dfns(
+        ctx,
+        typed({"function", "type"}),
+        _typed_dfn_extractor,
+        "reject",
+        True,
+        warnings,
+    )
+    descriptors = _extract_css_dfns(
+        ctx,
+        [t for t in root.query_all("table.descdef") if not t.has_class("attrdef")],
+        _extract_table_dfns,
+        "push",
+        True,
+        warnings,
+    )
+    if not props and not descriptors:
+        props = _extract_css_dfns(
+            ctx, root.query_all("div.propdef dl"), _extract_dl_dfns, "merge", False, warnings
+        )
+        descriptors = _extract_css_dfns(
+            ctx, root.query_all("div.descdef dl"), _extract_dl_dfns, "push", True, warnings
+        )
+    subsidiary = _extract_css_dfns(
+        ctx,
+        typed({"at-rule"}, require_no_for=False),
+        _typed_dfn_extractor,
+        "reject",
+        True,
+        warnings,
+    )
+    if subsidiary:
+        descriptors = descriptors + [subsidiary]
+
+    # attach descriptors to their at-rules (extract-cssdfn.mjs:108-128)
+    for desclist in descriptors:
+        for desc in desclist:
+            rule_name = desc.get("for")
+            rule = next((r for r in atrules if r["name"] == rule_name), None)
+            if rule is None:
+                rule = {"name": rule_name, "descriptors": []}
+                atrules.append(rule)
+            elif "descriptors" not in rule:
+                rule["descriptors"] = []
+            rule["descriptors"].append(desc)
+
+    res = {
+        "properties": props,
+        "atrules": atrules,
+        "selectors": selectors,
+        "values": values,
+    }
+    if warnings:
+        res["warnings"] = warnings
+    return res

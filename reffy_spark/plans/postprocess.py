@@ -192,3 +192,161 @@ def series_latest(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# --------------------------------------------------------------------------
+# idlparsed + IDL-driven joins (J5/J6/J9, W4)
+# --------------------------------------------------------------------------
+
+
+def idlparsed(extracts: DataFrame, idl_col: str = "idl", key: str = "url") -> DataFrame:
+    """Parse each spec's IDL dump into the idlparsed report
+    (parse-webidl.js:85-130) — an Arrow-batched stage over (url, idl)."""
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from reffy_spark.functions.webidl import parse_idl
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for url, idl in zip(b[key], b[idl_col]):
+                try:
+                    # the idl column may itself be a JSON-encoded string
+                    text = json.loads(idl) if idl and idl.startswith('"') else idl
+                except ValueError:
+                    text = idl
+                report = parse_idl(text or "")
+                out.append({key: url, "idlparsed": json.dumps(report, sort_keys=True)})
+            yield pd.DataFrame(out, columns=[key, "idlparsed"])
+
+    return extracts.select(key, idl_col).mapInPandas(run, f"{key} string, idlparsed string")
+
+
+def idl_members_table(idlparsed_df: DataFrame, key: str = "url") -> DataFrame:
+    """Long table of IDL members: (url, construct, construct_type, member,
+    member_type, idl_type, static) with W4 overload numbering
+    (row_number per (url, construct, member) — parse-webidl's overload
+    index, src/postprocessing/idlparsed.js:31-34)."""
+    schema = (
+        "map<string, struct<type:string, inheritance:string, "
+        "members:array<struct<type:string, name:string, idlType:string, "
+        "static:boolean>>>>"
+    )
+    exploded = (
+        idlparsed_df.select(
+            key,
+            F.explode(
+                F.from_json(F.get_json_object("idlparsed", "$.idlNames"), schema)
+            ).alias("construct", "c"),
+        )
+        .select(
+            key,
+            "construct",
+            F.col("c.type").alias("construct_type"),
+            F.col("c.inheritance").alias("inheritance"),
+            F.posexplode_outer("c.members").alias("member_idx", "m"),
+        )
+        .select(
+            key,
+            "construct",
+            "construct_type",
+            "inheritance",
+            "member_idx",
+            F.col("m.type").alias("member_type"),
+            F.col("m.name").alias("member"),
+            F.col("m.idlType").alias("idl_type"),
+            F.coalesce(F.col("m.static"), F.lit(False)).alias("static"),
+        )
+    )
+    w = Window.partitionBy(key, "construct", "member").orderBy("member_idx")
+    return exploded.withColumn(
+        "overload_index", F.row_number().over(w) - 1
+    )
+
+
+def event_handlers_table(idlparsed_df: DataFrame, key: str = "url") -> DataFrame:
+    """(url, interface, type) rows from on<event> EventHandler attributes."""
+    members = idl_members_table(idlparsed_df, key)
+    return members.filter(
+        (F.col("member_type") == "attribute")
+        & F.col("member").startswith("on")
+        & F.col("idl_type").contains("EventHandler")
+    ).select(
+        key,
+        F.col("construct").alias("interface"),
+        F.expr("substring(member, 3)").alias("type"),
+    )
+
+
+def events_with_handlers(events: DataFrame, handlers: DataFrame, key: str = "url") -> DataFrame:
+    """J6: fill a missing event interface from EventHandler attributes when
+    exactly ONE interface defines on<type> (extract-events.mjs:373-406's
+    count-based disambiguation)."""
+    candidates = (
+        handlers.groupBy(key, "type")
+        .agg(
+            F.countDistinct("interface").alias("n_candidates"),
+            F.first("interface").alias("candidate"),
+        )
+    )
+    joined = events.join(candidates, on=[key, "type"], how="left")
+    return joined.withColumn(
+        "interface",
+        F.when(
+            F.col("interface").isNull() & (F.col("n_candidates") == 1),
+            F.col("candidate"),
+        ).otherwise(F.col("interface")),
+    ).drop("n_candidates", "candidate")
+
+
+def includes_table(idlparsed_df: DataFrame, key: str = "url") -> DataFrame:
+    """(url, target, mixin) rows from `A includes B` statements."""
+    schema = "map<string, array<struct<type:string, target:string, includes:string>>>"
+    return (
+        idlparsed_df.select(
+            key,
+            F.explode(
+                F.from_json(F.get_json_object("idlparsed", "$.idlExtendedNames"), schema)
+            ).alias("name", "exts"),
+        )
+        .select(key, F.explode("exts").alias("e"))
+        .filter(F.col("e.type") == "includes")
+        .select(key, F.col("e.target").alias("target"), F.col("e.includes").alias("mixin"))
+    )
+
+
+def expand_mixin_targets(events: DataFrame, includes: DataFrame) -> DataFrame:
+    """J9: replace mixin event targets by their including interfaces
+    (src/postprocessing/events.js:14-37,93-109). ``includes`` is the
+    (target, mixin) map aggregated crawl-wide (small → broadcast)."""
+    mixin_map = (
+        includes.groupBy("mixin").agg(F.collect_set("target").alias("targets_of_mixin"))
+    )
+    exploded = events.withColumn(
+        "target", F.explode_outer(F.coalesce("targets", F.array().cast("array<string>")))
+    )
+    joined = exploded.join(
+        F.broadcast(mixin_map), exploded.target == mixin_map.mixin, "left"
+    ).withColumn(
+        "expanded",
+        F.when(F.col("targets_of_mixin").isNotNull(), F.col("targets_of_mixin")).otherwise(
+            F.when(F.col("target").isNotNull(), F.array("target")).otherwise(
+                F.array().cast("array<string>")
+            )
+        ),
+    )
+    group_cols = [c for c in events.columns if c != "targets"]
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.sort_array(F.array_distinct(F.flatten(F.collect_list("expanded")))).alias(
+                "targets"
+            )
+        )
+        .withColumn(
+            "targets", F.when(F.size("targets") > 0, F.col("targets"))
+        )
+    )

@@ -1,0 +1,151 @@
+"""Post-processing plan tests: backrefs, annotate-links, events, idlparsed."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from reffy_spark.plans import postprocess as PP
+
+
+def test_backrefs_basic(spark):
+    dfns = spark.createDataFrame(
+        [
+            ("a", "https://a.test/#t1", "t1", ["t one"], "dfn", [], "public"),
+            ("b", "https://b.test/#t2", "t2", ["t two"], "dfn", [], "public"),
+        ],
+        "shortname string, href string, id string, linkingText array<string>, "
+        "type string, for array<string>, access string",
+    )
+    links = spark.createDataFrame(
+        [
+            ("b", "https://a.test/", "t1"),   # b → a#t1
+            ("c", "https://a.test/", "t1"),   # c → a#t1
+            ("a", "https://a.test/", "t1"),   # self-ref: excluded
+            ("a", "https://b.test/", "t2"),   # a → b#t2
+            ("a", "https://b.test/", "missing"),  # no dfn: dropped
+        ],
+        "shortname string, page_url string, fragment string",
+    )
+    rows = {
+        (r["def_shortname"], r["href"]): r["referencedBy"]
+        for r in PP.backrefs(dfns, links).collect()
+    }
+    assert rows[("a", "https://a.test/#t1")] == ["b", "c"]
+    assert rows[("b", "https://b.test/#t2")] == ["a"]
+
+
+def test_backrefs_multipage_alias(spark):
+    dfns = spark.createDataFrame(
+        [("html", "https://html.spec.whatwg.org/#dom-foo", "dom-foo", ["foo"], "dfn", [], "public")],
+        "shortname string, href string, id string, linkingText array<string>, "
+        "type string, for array<string>, access string",
+    )
+    links = spark.createDataFrame(
+        [("other", "https://html.spec.whatwg.org/multipage/dom.html", "dom-foo")],
+        "shortname string, page_url string, fragment string",
+    )
+    rows = PP.backrefs(dfns, links).collect()
+    assert len(rows) == 1 and rows[0]["referencedBy"] == ["other"]
+
+
+def test_annotate_links(spark):
+    links = spark.createDataFrame(
+        [("a", "http://b.test/spec/index.html", "frag"), ("a", "https://x.test/", None)],
+        "shortname string, page_url string, fragment string",
+    )
+    specs = spark.createDataFrame(
+        [("https://b.test/spec/", "spec-b")], "url string, shortname string"
+    )
+    rows = PP.annotate_links(links, specs).collect()
+    by_page = {r["page_url"]: r["specShortname"] for r in rows}
+    assert by_page["http://b.test/spec/index.html"] == "spec-b"
+    assert by_page["https://x.test/"] is None
+
+
+def test_consolidate_events_merge_and_sort(spark):
+    events = spark.createDataFrame(
+        [
+            ("click", "E1", True, False, ["A"], "https://s/#e1"),
+            ("click", None, None, False, ["B"], "https://s/#e1"),
+            ("abort", "E0", None, True, None, "https://s/#e0"),
+        ],
+        "type string, interface string, bubbles boolean, cancelable boolean, "
+        "targets array<string>, href string",
+    )
+    rows = PP.consolidate_events(events).collect()
+    assert [r["type"] for r in rows] == ["abort", "click"]
+    click = rows[1]
+    assert click["targets"] == ["A", "B"]
+    assert click["interface"] == "E1" and click["bubbles"] is True
+
+
+def test_merge_crawls_anti_union(spark):
+    ref = spark.createDataFrame([("u1", "old1"), ("u2", "old2")], "url string, v string")
+    new = spark.createDataFrame([("u2", "new2"), ("u3", "new3")], "url string, v string")
+    rows = [(r["url"], r["v"]) for r in PP.merge_crawls(ref, new).collect()]
+    assert rows == [("u1", "old1"), ("u2", "new2"), ("u3", "new3")]
+
+
+def test_series_latest(spark):
+    specs = spark.createDataFrame(
+        [("css-foo", 1, "full"), ("css-foo", 2, "full"), ("css-foo", 3, "delta"),
+         ("css-bar", 1, "full")],
+        "series_shortname string, level int, seriesComposition string",
+    )
+    rows = {r["series_shortname"]: r["level"] for r in PP.series_latest(specs).collect()}
+    assert rows == {"css-foo": 2, "css-bar": 1}
+
+
+IDL = """
+[Exposed=Window]
+interface Widget : EventTarget {
+  attribute EventHandler onresize;
+  undefined show(DOMString how);
+  undefined show();
+};
+interface mixin Sizable { attribute unsigned long size; };
+Widget includes Sizable;
+"""
+
+
+@pytest.fixture(scope="module")
+def idlparsed_df(spark):
+    extracts = spark.createDataFrame([("https://w.test/", IDL)], "url string, idl string")
+    return PP.idlparsed(extracts).cache()
+
+
+def test_idlparsed_stage(idlparsed_df):
+    row = idlparsed_df.first()
+    report = json.loads(row["idlparsed"])
+    assert "Widget" in report["idlNames"]
+    assert report["exposed"] == {"Window": ["Widget"]}
+
+
+def test_members_table_overloads(idlparsed_df):
+    members = PP.idl_members_table(idlparsed_df)
+    shows = members.filter(F.col("member") == "show").orderBy("overload_index").collect()
+    assert [s["overload_index"] for s in shows] == [0, 1]
+
+
+def test_event_handlers_and_j6(spark, idlparsed_df):
+    handlers = PP.event_handlers_table(idlparsed_df)
+    h = handlers.collect()
+    assert [(r["interface"], r["type"]) for r in h] == [("Widget", "resize")]
+    events = spark.createDataFrame(
+        [("https://w.test/", "resize", None), ("https://w.test/", "unknown", None)],
+        "url string, type string, interface string",
+    )
+    out = {r["type"]: r["interface"] for r in PP.events_with_handlers(events, handlers).collect()}
+    assert out == {"resize": "Widget", "unknown": None}
+
+
+def test_mixin_expansion_j9(spark, idlparsed_df):
+    includes = PP.includes_table(idlparsed_df)
+    assert [(r["target"], r["mixin"]) for r in includes.collect()] == [("Widget", "Sizable")]
+    events = spark.createDataFrame(
+        [("resize", ["Sizable", "Other"], "https://w.test/#e")],
+        "type string, targets array<string>, href string",
+    )
+    rows = PP.expand_mixin_targets(events, includes).collect()
+    assert rows[0]["targets"] == ["Other", "Widget"]
