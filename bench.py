@@ -130,14 +130,20 @@ _SCALE_JOB = """
 import json, sys, time
 sys.path.insert(0, {repo!r})
 import os
-os.environ["SPARK_GRAFT_DRIVER_MEM"] = "48g"
+os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
 from reffy_spark.session import get_spark
 from reffy_spark.operators.crawler import CrawlEngine
-# extraction is CPU-bound at ~3ms/row over ~300-byte rows: input splits
-# must be sized for cores, not for scan efficiency (4MB splits ≈ 30 tasks
-# over this corpus; a real cluster reading 100TB has no such problem)
+# N vs 4N EXECUTORS: local-cluster spawns separate executor JVMs (own
+# memory, own Arrow/python workers) — the truthful multi-executor
+# emulation this sandbox allows. Extraction is CPU-bound at ~3ms/row over
+# ~300-byte rows: input splits must be sized for cores, not for scan
+# efficiency (4MB splits; a real cluster reading 100TB has no such issue)
 spark = get_spark("scale", cores={cores}, shuffle_partitions={cores},
-                  extra_conf={{"spark.sql.files.maxPartitionBytes": str(4*1024*1024)}})
+                  master="local-cluster[{nexec},8,10240]",
+                  extra_conf={{
+                      "spark.executor.memory": "9g",
+                      "spark.sql.files.maxPartitionBytes": str(4*1024*1024),
+                  }})
 pages = spark.read.parquet({corpus!r} + "/pages.parquet")
 seeds = spark.read.parquet({corpus!r} + "/seeds.parquet")
 robots = spark.read.parquet({corpus!r} + "/robots.parquet")
@@ -157,9 +163,13 @@ print(json.dumps({{"cores": {cores}, "urls": n, "sec": dt}}))
 """
 
 
-def _crawl_throughput_subprocess(cores: int) -> dict:
-    """Run the seed-list-replay crawl in a fresh JVM at a parallelism."""
-    code = _SCALE_JOB.format(repo=REPO, cores=cores, corpus=SCALE_CORPUS)
+def _crawl_throughput_subprocess(n_executors: int) -> dict:
+    """Run the seed-list-replay crawl on a fresh local-cluster with
+    ``n_executors`` × 8-core executor JVMs."""
+    cores = n_executors * 8
+    code = _SCALE_JOB.format(
+        repo=REPO, cores=cores, nexec=n_executors, corpus=SCALE_CORPUS
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
@@ -167,22 +177,24 @@ def _crawl_throughput_subprocess(cores: int) -> dict:
 
 
 def run_scaling() -> dict:
-    """BASELINE.md protocol: same job, same input, local[8] vs local[32].
+    """BASELINE.md protocol: same job, same input, N vs 4N executors
+    (1 × 8-core executor JVM vs 4 × 8-core executor JVMs via
+    local-cluster — separate JVM heaps and python-worker pools).
 
     The job is the reference's own workload shape — full seed-list replay
     (fetch join + 5-module Arrow extraction + politeness rank + frontier
     update) — sized so extraction dominates fixed round overhead.
     """
     build_scaling_corpus()
-    lo = _crawl_throughput_subprocess(8)
-    hi = _crawl_throughput_subprocess(32)
+    lo = _crawl_throughput_subprocess(1)
+    hi = _crawl_throughput_subprocess(4)
     r_lo = lo["urls"] / lo["sec"]
     r_hi = hi["urls"] / hi["sec"]
-    eff = (r_hi / r_lo) / (32 / 8)
+    eff = (r_hi / r_lo) / 4
     return {
         "n_pages": SCALE_PAGES,
-        "local8": {"urls_per_sec": round(r_lo, 2), "sec": round(lo["sec"], 2)},
-        "local32": {"urls_per_sec": round(r_hi, 2), "sec": round(hi["sec"], 2)},
+        "executors_1x8": {"urls_per_sec": round(r_lo, 2), "sec": round(lo["sec"], 2)},
+        "executors_4x8": {"urls_per_sec": round(r_hi, 2), "sec": round(hi["sec"], 2)},
         "efficiency": round(eff, 3),
     }
 

@@ -204,9 +204,21 @@ class CrawlEngine:
             # ---- fetch: join batch to pages on url_canon ----------------
             # The batch is budget-bounded → broadcast it; the pages side
             # then never shuffles (production: Iceberg data-skipping on
-            # the broadcast keys prunes file scans too). "Misses" are a
-            # separate keys-only anti-join so no html column rides along.
-            batch_b = F.broadcast(batch) if self.broadcast_batch else batch
+            # the broadcast keys prunes file scans too). Only the key +
+            # numeric metadata travel in the broadcast — string columns
+            # (url, host, host_group) stay out and are re-derived from
+            # url_canon later. "Misses" are a separate keys-only anti-join
+            # so no html column rides along.
+            meta_cols = [
+                c
+                for c in (
+                    "seed_idx", "depth", "priority",
+                    "round_discovered", "host_fetch_rank",
+                )
+                if c in batch.columns
+            ]
+            batch_slim = batch.select("url_canon", *meta_cols)
+            batch_b = F.broadcast(batch_slim) if self.broadcast_batch else batch_slim
             fetched_ok = self.pages.select("url_canon", "html").join(
                 batch_b, on="url_canon", how="inner"
             )
@@ -221,14 +233,6 @@ class CrawlEngine:
             # JSON; string metadata (host, host_group) is re-derived from
             # url_canon JVM-side instead (string columns through Arrow
             # measured ~40% of the whole extraction stage).
-            meta_cols = [
-                c
-                for c in (
-                    "seed_idx", "depth", "priority",
-                    "round_discovered", "host_fetch_rank",
-                )
-                if c in batch.columns
-            ]
             extracts = (
                 extract_all(
                     fetched_ok,
@@ -241,9 +245,19 @@ class CrawlEngine:
                 .withColumn("host_group", host_group_col(F.col("url_canon")))
                 .withColumn("status", F.lit("ok"))
             )
-            notfound = batch.join(
-                self.pages.select("url_canon"), on="url_canon", how="left_anti"
-            ).withColumn("status", F.lit("notfound"))
+            # shuffle_hash hint: the pages-keys side can be millions of
+            # rows in replay mode — broadcasting it would rebuild a huge
+            # hash relation for a join that usually matches nothing
+            notfound = (
+                batch_slim.join(
+                    self.pages.select("url_canon").hint("shuffle_hash"),
+                    on="url_canon",
+                    how="left_anti",
+                )
+                .withColumn("host", host_col(F.col("url_canon")))
+                .withColumn("host_group", host_group_col(F.col("url_canon")))
+                .withColumn("status", F.lit("notfound"))
+            )
             for m in self.modules:
                 notfound = notfound.withColumn(m, F.lit(None).cast("string"))
             round_results = (

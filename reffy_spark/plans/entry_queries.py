@@ -745,3 +745,234 @@ ORACLES = {
     # crawl_replay: intentionally no oracle (BSP loop + UDF extraction);
     # driver records a rows-only check.
 }
+
+
+# ===========================================================================
+# F. Post-processing operators with arithmetic oracles
+# ===========================================================================
+
+
+def q_events_consolidation(spark, sf_dir):
+    """J11 merge + W5 deterministic sort over events derived from the
+    events table (event rows share an href when event_id % 100 collide)."""
+    from reffy_spark.plans.postprocess import consolidate_events
+
+    ev = load(spark, sf_dir, "events")
+    synth = ev.select(
+        F.col("event_type").alias("type"),
+        F.when(F.col("event_id") % 3 != 0, F.concat(F.lit("I"), _s(F.col("event_id") % 5))).alias(
+            "interface"
+        ),
+        F.when(F.col("event_id") % 2 == 0, F.lit(True)).otherwise(F.lit(False)).alias("bubbles"),
+        (F.col("event_id") % 2 == 1).alias("cancelable"),
+        F.array(F.concat(F.lit("T"), _s(F.col("event_id") % 7))).alias("targets"),
+        F.concat(F.lit("https://e.test/#"), _s(F.col("event_id") % 100)).alias("href"),
+    )
+    out = consolidate_events(synth)
+    return out.select(
+        "type", "interface", "bubbles", "cancelable", "href",
+        F.array_join("targets", ",").alias("targets_csv"),
+    )
+
+
+ORACLE_EVENTS_CONSOLIDATION = """
+    WITH synth AS (
+      SELECT event_type AS type,
+             CASE WHEN event_id % 3 <> 0 THEN 'I' || (event_id % 5) END AS interface,
+             (event_id % 2 = 0) AS bubbles,
+             (event_id % 2 = 1) AS cancelable,
+             'T' || (event_id % 7) AS target,
+             'https://e.test/#' || (event_id % 100) AS href,
+             event_id
+      FROM events
+    ),
+    ordered AS (SELECT * FROM synth ORDER BY event_id),
+    merged AS (
+      SELECT href, cancelable,
+             MIN(event_id) AS first_id,
+             ARG_MIN(type, event_id) AS type,
+             ARG_MIN(interface, CASE WHEN interface IS NOT NULL THEN event_id END) AS interface,
+             ARG_MIN(bubbles, CASE WHEN bubbles IS NOT NULL THEN event_id END) AS bubbles,
+             array_to_string(list_sort(list_distinct(list(target))), ',') AS targets_csv
+      FROM ordered
+      GROUP BY href, cancelable
+    )
+    SELECT type, interface, bubbles, cancelable, href, targets_csv FROM merged
+"""
+
+
+def q_series_latest(spark, sf_dir):
+    """J13: latest full level per series (window rank) over a series table
+    derived from part."""
+    from reffy_spark.plans.postprocess import series_latest
+
+    part = load(spark, sf_dir, "part")
+    specs = part.select(
+        F.concat(F.lit("series-"), _s(F.col("p_partkey") % 40)).alias("series_shortname"),
+        (F.col("p_partkey") % 7).cast("int").alias("level"),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("delta")).otherwise(F.lit("full")).alias(
+            "seriesComposition"
+        ),
+        F.col("p_partkey").alias("p_partkey"),
+    )
+    # deterministic winner within (series, level): lowest partkey
+    w_specs = specs.groupBy("series_shortname", "level", "seriesComposition").agg(
+        F.min("p_partkey").alias("p_partkey")
+    )
+    return series_latest(w_specs).select(
+        "series_shortname", "level", F.col("p_partkey").alias("witness")
+    )
+
+
+ORACLE_SERIES_LATEST = """
+    WITH specs AS (
+      SELECT 'series-' || (p_partkey % 40) AS series_shortname,
+             CAST(p_partkey % 7 AS INT) AS level,
+             CASE WHEN p_partkey % 3 = 0 THEN 'delta' ELSE 'full' END AS comp,
+             MIN(p_partkey) AS p_partkey
+      FROM part
+      GROUP BY 1, 2, 3
+    )
+    SELECT series_shortname, level, p_partkey AS witness
+    FROM specs
+    WHERE comp = 'full'
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY series_shortname ORDER BY level DESC) = 1
+"""
+
+
+def q_merge_crawls(spark, sf_dir):
+    """J12 anti-join + union: merge 'new crawl' (odd doc_ids) into a
+    reference crawl (doc_ids % 3 == 0)."""
+    from reffy_spark.plans.postprocess import merge_crawls
+
+    d = load(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(F.lit("https://m.test/"), _s(F.col("doc_id"))).alias("url"),
+        F.lit("ref").alias("crawl"),
+        F.col("n_chars"),
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.concat(F.lit("https://m.test/"), _s(F.col("doc_id"))).alias("url"),
+        F.lit("new").alias("crawl"),
+        F.col("n_chars"),
+    )
+    return merge_crawls(ref, new)
+
+
+ORACLE_MERGE_CRAWLS = """
+    WITH ref AS (
+      SELECT 'https://m.test/' || doc_id AS url, 'ref' AS crawl, n_chars
+      FROM documents WHERE doc_id % 3 = 0
+    ), new AS (
+      SELECT 'https://m.test/' || doc_id AS url, 'new' AS crawl, n_chars
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT * FROM ref WHERE url NOT IN (SELECT url FROM new)
+    UNION ALL
+    SELECT * FROM new
+"""
+
+
+def q_idl_members(spark, sf_dir):
+    """idlparsed stage + W4 overload numbering over IDL generated from
+    doc_id arithmetic (two overloads of m{i} when doc_id % 4 == 0)."""
+    from reffy_spark.plans.postprocess import idl_members_table, idlparsed
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    i = _s(F.col("doc_id"))
+    overload = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("  undefined m"), i, F.lit("(DOMString a);\n")),
+    ).otherwise(F.lit(""))
+    idl = F.concat(
+        F.lit("[Exposed=Window]\ninterface I"), i, F.lit(" {\n"),
+        F.lit("  attribute DOMString attr"), i, F.lit(";\n"),
+        F.lit("  undefined m"), i, F.lit("();\n"),
+        overload,
+        F.lit("};\n"),
+    )
+    extracts = d.select(
+        F.concat(F.lit("https://idl.test/d"), i, F.lit("/")).alias("url"),
+        idl.alias("idl"),
+    )
+    members = idl_members_table(idlparsed(extracts))
+    return members.select(
+        "url", "construct", "member", "member_type", "overload_index"
+    )
+
+
+ORACLE_IDL_MEMBERS = """
+    WITH base AS (
+      SELECT doc_id, 'https://idl.test/d' || doc_id || '/' AS url,
+             'I' || doc_id AS construct FROM documents
+    )
+    SELECT url, construct, 'attr' || doc_id AS member,
+           'attribute' AS member_type, 0 AS overload_index FROM base
+    UNION ALL
+    SELECT url, construct, 'm' || doc_id, 'operation', 0 FROM base
+    UNION ALL
+    SELECT url, construct, 'm' || doc_id, 'operation', 1 FROM base
+    WHERE doc_id % 4 = 0
+"""
+
+
+def q_quality_filter(spark, sf_dir):
+    return TA.quality_filter(load(spark, sf_dir, "documents"), 0.99).select(
+        "doc_id", "n_chars"
+    )
+
+
+ORACLE_QUALITY_FILTER = f"""
+    WITH p AS ({ORACLE_TEXT_PROFILE})
+    SELECT d.doc_id, d.n_chars
+    FROM documents d JOIN p ON d.doc_id = p.doc_id
+    WHERE p.quality >= 0.99
+"""
+
+
+def q_simhash_pairs(spark, sf_dir):
+    return D.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=16)
+
+
+def _oracle_simhash_pairs(max_hamming: int = 16, bits: int = 32, n_bands: int = 4) -> str:
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, (simhash >> {b * band_bits}) & {mask} AS slice FROM sh"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH sh AS ({_oracle_simhash(bits)}),
+    stacked AS ({bands_union}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+             l.simhash AS ha, r.simhash AS hb
+      FROM stacked l JOIN stacked r
+        ON l.band = r.band AND l.slice = r.slice AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+QUERIES.update(
+    {
+        "events_consolidation": q_events_consolidation,
+        "series_latest": q_series_latest,
+        "merge_crawls": q_merge_crawls,
+        "idl_members": q_idl_members,
+        "quality_filter": q_quality_filter,
+        "simhash_pairs": q_simhash_pairs,
+    }
+)
+
+ORACLES.update(
+    {
+        "events_consolidation": ORACLE_EVENTS_CONSOLIDATION,
+        "series_latest": ORACLE_SERIES_LATEST,
+        "merge_crawls": ORACLE_MERGE_CRAWLS,
+        "idl_members": ORACLE_IDL_MEMBERS,
+        "quality_filter": ORACLE_QUALITY_FILTER,
+        "simhash_pairs": _oracle_simhash_pairs(),
+    }
+)

@@ -38,14 +38,19 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession.
 
     ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``. Shuffle
     partitions default to the core count — on a real cluster this would be
     ~2-3x total executor cores; AQE coalesces the rest at runtime.
+    ``master`` overrides entirely (e.g. ``local-cluster[4,8,12288]`` to
+    emulate a 4-executor cluster with separate JVMs).
     """
-    if cores is None:
+    if master is not None:
+        ncores = cores or (os.cpu_count() or 8)
+    elif cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{env}]" if env else "local[*]"
         ncores = int(env) if env else (os.cpu_count() or 8)

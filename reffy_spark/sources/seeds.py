@@ -1,0 +1,103 @@
+"""Seed-list sources: browser-specs-style records → crawl seeds.
+
+Re-expresses the reference's seed handling:
+
+* S1 seed-list scan + P1 discontinued filter (reffy.js:58-68,
+  src/lib/specs-crawler.js:352-389,606-612)
+* S2 spec-list file scan (JSON array of shortnames/URLs)
+* P2 published-version filter (``--release``,
+  specs-crawler.js:441-443,474-478)
+* §2.7 versions union (completeWithAlternativeUrls, util.js:695-712)
+* shortname / series-shortname / URL resolution = broadcast lookup join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEED_SCHEMA = (
+    "url string, shortname string, "
+    "series struct<shortname:string, currentSpecification:string>, "
+    "seriesComposition string, seriesPrevious string, seriesNext string, "
+    "nightly struct<url:string, pages:array<string>>, "
+    "release struct<url:string>, standing string"
+)
+
+
+def read_seed_list(spark: SparkSession, path: str) -> DataFrame:
+    """S1: load a browser-specs-style JSON seed list with explicit schema
+    (multiline JSON arrays supported) and attach seed_idx (input order —
+    the W3 crawl-order column)."""
+    from pyspark.sql import Window
+
+    df = spark.read.schema(SEED_SCHEMA).option("multiLine", "true").json(path)
+    return df.withColumn(
+        "seed_idx", F.row_number().over(Window.orderBy(F.monotonically_increasing_id())) - 1
+    )
+
+
+def filter_active(seeds: DataFrame) -> DataFrame:
+    """P1: drop discontinued specs (reffy.js:59-63)."""
+    return seeds.filter(
+        F.coalesce(F.col("standing"), F.lit("good")) != "discontinued"
+    )
+
+
+def select_crawl_url(seeds: DataFrame, release: bool = False) -> DataFrame:
+    """P2: pick the URL to crawl. ``release=True`` keeps only specs with a
+    release URL and crawls it; otherwise nightly-or-url
+    (specs-crawler.js:441-443,474-478)."""
+    if release:
+        return seeds.filter(F.col("release.url").isNotNull()).withColumn(
+            "url_to_crawl", F.col("release.url")
+        )
+    return seeds.withColumn(
+        "url_to_crawl", F.coalesce(F.col("nightly.url"), F.col("url"))
+    )
+
+
+def with_versions(seeds: DataFrame) -> DataFrame:
+    """§2.7: versions = distinct union of url/release/nightly URLs
+    (completeWithAlternativeUrls, util.js:695-712)."""
+    arr = F.array_compact(
+        F.array(F.col("url"), F.col("release.url"), F.col("nightly.url"))
+    )
+    return seeds.withColumn("versions", F.array_distinct(arr))
+
+
+def resolve_spec_refs(refs: DataFrame, seeds: DataFrame, ref_col: str = "ref") -> DataFrame:
+    """S2 resolution: user-supplied shortnames / series shortnames / URLs
+    → seed records, via a broadcast lookup join over the exploded alias
+    table (parseSpecOption, reffy.js:58-68). Unresolved refs keep a null
+    shortname (ad-hoc URL seeds, prepareListOfSpecs)."""
+    aliases = None
+    for expr, kind in (
+        (F.col("shortname"), "shortname"),
+        (F.col("series.shortname"), "series"),
+        (F.col("url"), "url"),
+        (F.col("nightly.url"), "nightly"),
+        (F.col("release.url"), "release"),
+    ):
+        part = seeds.select(
+            expr.alias("alias"),
+            F.lit(kind).alias("alias_kind"),
+            F.col("shortname").alias("resolved_shortname"),
+            F.col("url").alias("resolved_url"),
+        ).filter(F.col("alias").isNotNull())
+        aliases = part if aliases is None else aliases.unionByName(part)
+    # series aliases resolve to the series' current specification
+    priority = F.when(F.col("alias_kind") == "shortname", 0).otherwise(
+        F.when(F.col("alias_kind") == "series", 1).otherwise(2)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("alias").orderBy(priority, "resolved_shortname")
+    aliases = (
+        aliases.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "alias_kind")
+    )
+    return refs.join(
+        F.broadcast(aliases), refs[ref_col] == F.col("alias"), "left"
+    ).drop("alias")
