@@ -754,14 +754,102 @@ def extract_elements(ctx) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def extract_events(ctx) -> list[dict]:
-    """Summary-table subset of extract-events.mjs:80-221.
+# firing-algorithm links recognized by the prose path
+# (extract-events.mjs:222-229)
+_FIRING_HREFS = frozenset(
+    [
+        "https://dom.spec.whatwg.org/#concept-event-fire",
+        "https://w3c.github.io/ServiceWorker/#fire-functional-event",
+        "https://www.w3.org/TR/service-workers-1/#fire-functional-event-algorithm",
+        "https://www.w3.org/TR/service-workers-1/#fire-functional-event",
+        "https://www.w3.org/TR/service-workers/#fire-functional-event-algorithm",
+        "https://www.w3.org/TR/service-workers/#fire-functional-event",
+        "https://w3c.github.io/pointerevents/#dfn-fire-a-pointer-event",
+    ]
+)
 
-    Extracts rows of event summary tables (Event/Interface/Bubbles/
-    Cancelable/Targets columns). TODO(parity): 'fire an event named X'
-    prose path, IDL EventHandler inference (J6), extension merging
-    (J9-J11) live in plans.postprocess.
-    """
+_FIRE_RE = re.compile(
+    r"fir(e|ing)\s+a(n|\s+pointer)\s+event\s+named\s+\"?(?P<eventName>[a-z]+)", re.I
+)
+_FIRE_FUNCTIONAL_RE = re.compile(
+    r"fir(e|ing)\sa?\s*functional\s+event\s+((named|given)\s+)?\"?(?P<eventName>[a-z]+)",
+    re.I,
+)
+_GENERIC_EVENT_NAMES = frozenset(["eventname", "type", "e", "event", "name"])
+
+
+def _extract_fired_events(ctx) -> list[dict]:
+    """'Fire an event named X' prose path (extract-events.mjs:222-300,
+    simplified: the text window is the parent's content from the firing
+    link to the next firing link / end of parent)."""
+    events = []
+    for a in ctx.root.query_all("a[href]"):
+        if a.get("href") not in _FIRING_HREFS:
+            continue
+        if is_informative(a):
+            continue
+        parent = a.parent
+        if parent is None:
+            continue
+        # text window: from this anchor to the next firing anchor sibling
+        parts: list[str] = []
+        seen_anchor = False
+        for child in parent.children:
+            if child is a:
+                seen_anchor = True
+                parts.append(a.text)
+                continue
+            if not seen_anchor:
+                continue
+            if isinstance(child, str):
+                parts.append(child)
+            elif (
+                child.tag == "a" and child.get("href") in _FIRING_HREFS
+            ):
+                break
+            elif child.matches(_ASIDE_SELECTOR):
+                continue
+            else:
+                parts.append(child.text)
+        window = "".join(parts)
+        m = _FIRE_RE.search(window) or _FIRE_FUNCTIONAL_RE.search(window)
+        if not m:
+            continue
+        name = m.group("eventName")
+        if name.lower() in _GENERIC_EVENT_NAMES:
+            continue
+        anchor_id = a.closest("[id]")
+        ev: dict = {
+            "type": name,
+            "src": {"format": "fire an event phrasing"},
+        }
+        if anchor_id is not None:
+            loc = get_absolute_url(anchor_id, ctx)
+            ev["src"]["href"] = loc
+            ev["href"] = loc
+        # an adjacent element whose text is exactly the event name refines
+        # the href (extract-events.mjs:289-299)
+        nxt = a.next_element_sibling
+        if nxt is not None and normalize(nxt.text) == name:
+            target = nxt.query("a, dfn") or nxt
+            if target.tag == "a" and target.get("href"):
+                ev["href"] = target.get("href")
+            elif target.tag == "dfn" and target.id:
+                ev["href"] = get_absolute_url(target, ctx)
+        events.append(ev)
+    return events
+
+
+def _is_same_event(a: dict, b: dict) -> bool:
+    """isSameEvent equivalence (events.js:39-48, simplified to the
+    type × href core)."""
+    return a.get("type") == b.get("type") and a.get("href") == b.get("href")
+
+
+def extract_events(ctx) -> list[dict]:
+    """extract-events.mjs: summary tables (:80-221) + 'fire an event'
+    prose (:222-300). IDL EventHandler inference (J6) and extension
+    merging (J9-J11) live in plans.postprocess."""
     events = []
     for table in ctx.root.query_all("table"):
         header_cells = [normalize(th.text).lower() for th in table.query_all("th")]
@@ -811,6 +899,9 @@ def extract_events(ctx) -> list[dict]:
                     ev["targets"] = [x.strip() for x in re.split(r"[,;]", t) if x.strip()]
             if ev["type"]:
                 events.append(ev)
+    for ev in _extract_fired_events(ctx):
+        if not any(_is_same_event(e, ev) for e in events):
+            events.append(ev)
     return events
 
 

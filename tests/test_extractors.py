@@ -301,3 +301,34 @@ def test_algorithms_steps():
     assert res[0]["name"] == "run a thing"
     assert res[0]["steps"][0] == {"html": "First step."}
     assert res[0]["steps"][1]["steps"] == [{"html": "Nested."}]
+
+
+def test_events_fire_prose():
+    html = """
+    <section id='algo'>
+    <p>Then <a href='https://dom.spec.whatwg.org/#concept-event-fire'>fire an
+    event</a> named <code>resize</code> at the Window object.</p>
+    </section>
+    <div class='note'><a href='https://dom.spec.whatwg.org/#concept-event-fire'>
+    fire an event</a> named <code>ignored</code></div>
+    <p><a href='https://dom.spec.whatwg.org/#concept-event-fire'>fire an
+    event</a> named <code>e</code></p>
+    """
+    res = one(html, "events")
+    assert len(res) == 1
+    ev = res[0]
+    assert ev["type"] == "resize"
+    assert ev["src"]["format"] == "fire an event phrasing"
+    assert ev["href"] == f"{URL}#algo"
+
+
+def test_events_fire_prose_dedup_vs_table():
+    html = """
+    <table><tr><th>Event</th><th>Interface</th></tr>
+    <tr><td id='ev-x'>x</td><td>XEvent</td></tr></table>
+    <p id='p1'><a href='https://dom.spec.whatwg.org/#concept-event-fire'>fire
+    an event</a> named <code>zoom</code></p>
+    """
+    res = one(html, "events")
+    types = sorted(e["type"] for e in res)
+    assert types == ["x", "zoom"]

@@ -1,0 +1,111 @@
+"""Physical-plan regression tests.
+
+Locks in the plan properties the engine's scale story depends on
+(SURVEY.md §4): filters pushed to the parquet scan, column pruning,
+broadcast joins where intended, JVM-only kernels (no Python eval nodes
+in hot paths), and partial aggregation for the frontier dedup.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reffy_spark.plans import entry_queries as EQ
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = EQ.q1_pricing_summary(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1].split("]")[0]
+    # column pruning: unused columns (l_partkey, l_suppkey) not read
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_partkey" not in read_schema and "l_suppkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    plan = plan_of(EQ.q3_top_revenue(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # top-k executes as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_url_canon_is_jvm_only(spark, sf_dir):
+    plan = plan_of(EQ.q_url_canon(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_minhash_signatures_jvm_only(spark, sf_dir):
+    from reffy_spark.operators.dedupe import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(minhash_signatures(docs))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_text_profile_single_scan_no_shuffle(spark, sf_dir):
+    from reffy_spark.operators.text_analysis import profile_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = plan_of(profile_documents(docs))
+    assert "Exchange" not in plan  # narrow transform: zero shuffles
+    assert "ArrowEvalPython" not in plan
+
+
+def test_frontier_dedup_is_partial_agg(spark):
+    from reffy_spark.operators.frontier import to_frontier
+
+    df = spark.createDataFrame(
+        [("https://a.test/x",), ("https://a.test/x",)], "url string"
+    )
+    plan = plan_of(to_frontier(df))
+    # min_by compiles to partial+final aggregate pairs (hash, object-hash,
+    # or sort aggregate depending on the struct type) — never a Window sort
+    assert "Window" not in plan
+    assert "Aggregate" in plan
+
+
+def test_robots_filter_has_no_window_or_extra_shuffle(spark):
+    from reffy_spark.operators.frontier import apply_robots, to_frontier
+
+    frontier = to_frontier(
+        spark.createDataFrame([("https://a.test/x",)], "url string")
+    )
+    robots = spark.createDataFrame(
+        [("a.test", "/", True, 100)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    plan = plan_of(apply_robots(frontier, robots))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_backrefs_broadcasts_dfn_index(spark, sf_dir):
+    plan = plan_of(EQ.q_backrefs(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_extraction_reads_only_url_and_html(spark):
+    from reffy_spark.extractors.base import extract_all
+    from reffy_spark.sources.synthetic import gen_pages
+
+    pages = gen_pages(spark, 10, 2)
+    # write+read so there is a real scan to prune
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pages.write.parquet(f"{d}/p")
+        scan = spark.read.parquet(f"{d}/p")
+        plan = plan_of(extract_all(scan, ["title"]))
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "html" in read_schema and "url" in read_schema
+        assert "text" not in read_schema and "lang" not in read_schema
