@@ -350,3 +350,78 @@ def expand_mixin_targets(events: DataFrame, includes: DataFrame) -> DataFrame:
             "targets", F.when(F.size("targets") > 0, F.col("targets"))
         )
     )
+
+
+# --------------------------------------------------------------------------
+# crawl-level rollups: idlnames + cssmerge core (A9)
+# --------------------------------------------------------------------------
+
+
+def idlnames(idlparsed_df: DataFrame, key: str = "url") -> DataFrame:
+    """Crawl-level IDL-name index: for every IDL name, the specs that
+    define it and the specs that extend it (partials / includes) — the
+    relational form of the reference's idlnames post-processor
+    (src/postprocessing/idlnames.js)."""
+    names_schema = "map<string, struct<type:string>>"
+    defined = idlparsed_df.select(
+        F.explode(
+            F.from_json(F.get_json_object("idlparsed", "$.idlNames"), names_schema)
+        ).alias("name", "c"),
+        F.col(key),
+    ).select("name", F.col("c.type").alias("idl_type"), F.col(key).alias("spec"))
+    ext_schema = "map<string, array<struct<type:string>>>"
+    extended = idlparsed_df.select(
+        F.explode(
+            F.from_json(
+                F.get_json_object("idlparsed", "$.idlExtendedNames"), ext_schema
+            )
+        ).alias("name", "exts"),
+        F.col(key),
+    ).select("name", F.col(key).alias("spec"))
+    agg_def = defined.groupBy("name").agg(
+        F.first("idl_type").alias("idl_type"),
+        F.sort_array(F.collect_set("spec")).alias("defined_in"),
+    )
+    agg_ext = extended.groupBy("name").agg(
+        F.sort_array(F.collect_set("spec")).alias("extended_in")
+    )
+    return agg_def.join(agg_ext, on="name", how="left").withColumn(
+        "extended_in",
+        F.coalesce(F.col("extended_in"), F.array().cast("array<string>")),
+    )
+
+
+def cssmerge_properties(css_props: DataFrame) -> DataFrame:
+    """A9 core: consolidate per-spec CSS property extracts crawl-wide —
+    base definition (the row with a ``value``) unioned with every spec's
+    ``newValues`` via ' | ' (cssmerge.js value-union semantics).
+    Deterministic: base chosen by min url; extensions sorted by url."""
+    base = (
+        css_props.filter(F.col("value").isNotNull())
+        .groupBy("name")
+        .agg(F.min_by(F.struct("value", "url"), F.col("url")).alias("b"))
+        .select("name", F.col("b.value").alias("base_value"))
+    )
+    exts = (
+        css_props.filter(F.col("newValues").isNotNull())
+        .groupBy("name")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("url", "newValues"))),
+                    lambda s: s["newValues"],
+                ),
+                " | ",
+            ).alias("new_values")
+        )
+    )
+    merged = base.join(exts, on="name", how="full")
+    return merged.select(
+        "name",
+        F.when(
+            F.col("base_value").isNotNull() & F.col("new_values").isNotNull(),
+            F.concat(F.col("base_value"), F.lit(" | "), F.col("new_values")),
+        )
+        .otherwise(F.coalesce(F.col("base_value"), F.col("new_values")))
+        .alias("value"),
+    )
