@@ -141,6 +141,8 @@ class Element:
 # Selector machinery: compound = (simple, combinator, simple, ...) reversed
 # ---------------------------------------------------------------------------
 
+from functools import lru_cache
+
 _SIMPLE_RE = re.compile(
     r"(?P<tag>[a-zA-Z][a-zA-Z0-9-]*|\*)?"
     r"(?P<rest>(?:[.#][\w-]+|\[[^\]]+\])*)"
@@ -148,6 +150,7 @@ _SIMPLE_RE = re.compile(
 _PART_RE = re.compile(r"([.#][\w-]+|\[[^\]]+\])")
 
 
+@lru_cache(maxsize=512)
 def _parse_simple(s: str):
     m = _SIMPLE_RE.fullmatch(s.strip())
     if not m:
@@ -172,8 +175,11 @@ def _parse_simple(s: str):
     return (tag.lower() if tag and tag != "*" else None, tuple(conds))
 
 
+@lru_cache(maxsize=512)
 def _parse_selector(selector: str):
     """Parse comma list of 'a > b c' chains into a list of compounds.
+    Memoized: the extractor suite uses a small fixed selector set but
+    queries it once per page (~10^10 times at scale).
 
     Each compound is a list [(comb, simple), ...] leaf-last, where comb is
     ' ' (descendant) or '>' (child); the first entry's comb is None.
