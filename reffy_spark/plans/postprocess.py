@@ -425,3 +425,107 @@ def cssmerge_properties(css_props: DataFrame) -> DataFrame:
         .otherwise(F.coalesce(F.col("base_value"), F.col("new_values")))
         .alias("value"),
     )
+
+
+# --------------------------------------------------------------------------
+# J10: event-extension resolution
+# --------------------------------------------------------------------------
+
+
+def resolve_event_extensions(events: DataFrame) -> DataFrame:
+    """Merge `isExtension` events into their original events
+    (src/postprocessing/events.js:52-66,202-225): match by exact href
+    first, then by (type, extension-href startswith original spec URL);
+    union extra targets, record extendedIn, drop resolved extensions.
+    Interface conflicts leave the extension unresolved (kept, flagged).
+
+    Expected columns: spec (shortname), spec_url (crawled URL), type,
+    href, interface, targets:array<string>, is_extension:boolean.
+    The two passes are an equi join on href and a host-bounded prefix
+    theta-join (prefix matches cannot cross hosts, so the equi key on
+    host keeps the join from degenerating into a cross product at scale).
+    """
+    from reffy_spark.functions.urls import host_col
+
+    origs = events.filter(~F.col("is_extension"))
+    exts = events.filter(F.col("is_extension"))
+
+    o = origs.select(
+        F.col("spec").alias("o_spec"),
+        F.col("spec_url").alias("o_spec_url"),
+        F.col("type").alias("o_type"),
+        F.col("href").alias("o_href"),
+        F.col("interface").alias("o_interface"),
+    )
+    e = exts.select(
+        F.col("spec").alias("e_spec"),
+        F.col("type").alias("e_type"),
+        F.col("href").alias("e_href"),
+        F.col("interface").alias("e_interface"),
+        F.col("targets").alias("e_targets"),
+    )
+
+    # pass 1: exact href
+    p1 = e.join(o, F.col("e_href") == F.col("o_href"), "inner")
+    # pass 2: same type + prefix match, host-bounded; only for pass-1 misses
+    missed = e.join(o.select(F.col("o_href")), F.col("e_href") == F.col("o_href"), "left_anti")
+    p2 = missed.join(
+        o,
+        (F.col("e_type") == F.col("o_type"))
+        & (host_col(F.col("e_href")) == host_col(F.col("o_spec_url")))
+        & F.col("e_href").startswith(F.col("o_spec_url")),
+        "inner",
+    )
+    matched = p1.unionByName(p2, allowMissingColumns=True)
+    # interface conflict → unresolved
+    ok = matched.filter(
+        F.col("e_interface").isNull()
+        | F.col("o_interface").isNull()
+        | (F.col("e_interface") == F.col("o_interface"))
+    )
+    # one original per extension (deterministic: min original spec)
+    w = Window.partitionBy("e_spec", "e_href", "e_type").orderBy("o_spec", "o_href")
+    ok = ok.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    merged = ok.groupBy("o_spec", "o_href", "o_type").agg(
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.coalesce("e_targets", F.array().cast("array<string>")))
+            )
+        ).alias("ext_targets"),
+        F.sort_array(F.collect_set("e_spec")).alias("extendedIn"),
+    )
+    resolved_keys = ok.select(
+        F.col("e_spec").alias("spec"), F.col("e_href").alias("href")
+    ).distinct()
+
+    out = (
+        origs.join(
+            merged,
+            (origs.spec == merged.o_spec)
+            & (origs.href.eqNullSafe(merged.o_href))
+            & (origs.type == merged.o_type),
+            "left",
+        )
+        .withColumn(
+            "targets",
+            F.when(
+                F.col("ext_targets").isNotNull(),
+                F.array_distinct(
+                    F.concat(
+                        F.coalesce("targets", F.array().cast("array<string>")),
+                        F.col("ext_targets"),
+                    )
+                ),
+            ).otherwise(F.col("targets")),
+        )
+        .withColumn(
+            "extendedIn",
+            F.coalesce(F.col("extendedIn"), F.array().cast("array<string>")),
+        )
+        .drop("o_spec", "o_href", "o_type", "ext_targets")
+    )
+    unresolved = exts.join(resolved_keys, on=["spec", "href"], how="left_anti").withColumn(
+        "extendedIn", F.array().cast("array<string>")
+    )
+    return out.unionByName(unresolved.select(*out.columns))

@@ -149,3 +149,35 @@ def test_mixin_expansion_j9(spark, idlparsed_df):
     )
     rows = PP.expand_mixin_targets(events, includes).collect()
     assert rows[0]["targets"] == ["Other", "Widget"]
+
+
+def test_event_extension_resolution_j10(spark):
+    events = spark.createDataFrame(
+        [
+            # originals in spec-a
+            ("a", "https://a.test/", "load", "https://a.test/#load", "AEvent", ["W"], False),
+            ("a", "https://a.test/", "save", "https://a.test/#save", None, ["W"], False),
+            # exact-href extension from spec-b: adds target X
+            ("b", "https://b.test/", "load", "https://a.test/#load", "AEvent", ["X"], True),
+            # prefix+type extension from spec-c (href under a.test, no exact match)
+            ("c", "https://c.test/", "save", "https://a.test/other#save2", None, ["Y"], True),
+            # unresolvable extension (no original anywhere)
+            ("d", "https://d.test/", "zap", "https://nowhere.test/#zap", None, ["Z"], True),
+        ],
+        "spec string, spec_url string, type string, href string, "
+        "interface string, targets array<string>, is_extension boolean",
+    )
+    from reffy_spark.plans.postprocess import resolve_event_extensions
+
+    rows = resolve_event_extensions(events).collect()
+    by_key = {(r["spec"], r["type"]): r for r in rows}
+    load = by_key[("a", "load")]
+    assert sorted(load["targets"]) == ["W", "X"]
+    assert load["extendedIn"] == ["b"]
+    save = by_key[("a", "save")]
+    assert sorted(save["targets"]) == ["W", "Y"]
+    assert save["extendedIn"] == ["c"]
+    # resolved extensions dropped; unresolved kept
+    specs = sorted(r["spec"] for r in rows)
+    assert specs == ["a", "a", "d"]
+    assert by_key[("d", "zap")]["is_extension"] is True
