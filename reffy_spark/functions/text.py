@@ -152,3 +152,53 @@ def fingerprint_col(text: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(FP_MULT) + x) % F.lit(FP_MOD),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reference scalar kernels F17 / F18
+# ---------------------------------------------------------------------------
+
+
+def clean_method_name_py(name: str) -> str:
+    """F17: ES method-name cleanup (extract-dfns.mjs cleanMethodName):
+    drop optional-arg brackets, trim spaces around parens/commas."""
+    name = name.replace("[", "").replace("]", "")
+    name = re.sub(r" \( *", "(", name, count=1)
+    name = re.sub(r" *\)", ")", name, count=1)
+    return re.sub(r" *,", ",", name)
+
+
+def clean_method_name_col(c: Column) -> Column:
+    out = F.regexp_replace(c, r"[\[\]]", "")
+    out = F.regexp_replace(out, r" \( *", "(")
+    out = F.regexp_replace(out, r" *\)", ")")
+    return F.regexp_replace(out, r" *,", ",")
+
+
+def css_property_to_idl_attributes(prop: str) -> list[str]:
+    """F18: CSS property → generated IDL attribute names per CSSOM
+    (util.js:923-960): dashed form, camel-cased form if different, and
+    the webkit-cased variant for -webkit- properties."""
+
+    def to_idl(p: str, lowercase_first: bool) -> str:
+        if lowercase_first:
+            p = p[1:]
+        out = []
+        upper_next = False
+        for ch in p:
+            if ch == "-":
+                upper_next = True
+            elif upper_next:
+                upper_next = False
+                out.append(ch.upper())
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    res = [prop]
+    camel = to_idl(prop, False)
+    if camel != prop:
+        res.append(camel)
+    if prop.startswith("-webkit-"):
+        res.append(to_idl(prop, True))
+    return res

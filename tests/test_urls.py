@@ -92,3 +92,34 @@ def test_url_canon_col_plan_is_jvm_only(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_clean_method_name_f17(spark):
+    from pyspark.sql import functions as F
+
+    from reffy_spark.functions.text import clean_method_name_col, clean_method_name_py
+
+    # note: the reference only trims spaces BEFORE commas (/ *,/g),
+    # spaces after commas survive — byte-parity over prettiness
+    cases = [
+        ("foo ( a , b )", "foo(a, b)"),
+        ("bar ( [ x ] )", "bar(x)"),
+        ("baz()", "baz()"),
+    ]
+    for raw, want in cases:
+        assert clean_method_name_py(raw) == want
+    df = spark.createDataFrame([(r,) for r, _ in cases], "s string")
+    got = [r["c"] for r in df.withColumn("c", clean_method_name_col(F.col("s"))).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_css_property_to_idl_attributes_f18():
+    from reffy_spark.functions.text import css_property_to_idl_attributes
+
+    assert css_property_to_idl_attributes("font-size") == ["font-size", "fontSize"]
+    assert css_property_to_idl_attributes("color") == ["color"]
+    assert css_property_to_idl_attributes("-webkit-box-align") == [
+        "-webkit-box-align",
+        "WebkitBoxAlign",
+        "webkitBoxAlign",
+    ]
