@@ -852,7 +852,28 @@ def extract_events(ctx) -> list[dict]:
     merging (J9-J11) live in plans.postprocess."""
     events = []
     for table in ctx.root.query_all("table"):
-        header_cells = [normalize(th.text).lower() for th in table.query_all("th")]
+        # Header detection mirrors extract-events.mjs:81-93: thead th only
+        # (first th-bearing tr when there is no explicit thead) — tbody
+        # row-header th cells must NOT contribute column positions.
+        thead = table.query("thead")
+        if thead is not None:
+            header_row = thead.query("tr")
+        else:
+            header_row = next(
+                (
+                    tr
+                    for tr in table.query_all("tr")
+                    if any(c.tag == "th" for c in tr.child_elements())
+                ),
+                None,
+            )
+        if header_row is None:
+            continue
+        header_cells = [
+            normalize(c.text).lower()
+            for c in header_row.child_elements()
+            if c.tag == "th"
+        ]
         if not header_cells or "event" not in " ".join(header_cells):
             continue
         cols = {}
@@ -870,8 +891,18 @@ def extract_events(ctx) -> list[dict]:
         if "type" not in cols:
             continue
         for tr in table.query_all("tr"):
-            tds = [c for c in tr.child_elements() if c.tag == "td"]
-            if len(tds) <= cols["type"]:
+            if tr is header_row:
+                continue
+            cells = [c for c in tr.child_elements() if c.tag in ("td", "th")]
+            if not cells or all(c.tag == "th" for c in cells):
+                continue  # secondary header row
+            # event name comes from the row's FIRST cell regardless of
+            # td/th (extract-events.mjs:100 `*:first-child`); other columns
+            # require a td at the header position (`td:nth-child(N)`).
+            tds = {
+                i: c for i, c in enumerate(cells) if c.tag == "td" or i == 0
+            }
+            if cols["type"] not in tds:
                 continue
             type_cell = tds[cols["type"]]
             ev: dict = {
@@ -882,18 +913,18 @@ def extract_events(ctx) -> list[dict]:
             target = code if code is not None else (type_cell if type_cell.id else None)
             if target is not None:
                 ev["href"] = get_absolute_url(target, ctx)
-            if "interface" in cols and len(tds) > cols["interface"]:
+            if "interface" in cols and cols["interface"] in tds:
                 iface = normalize(tds[cols["interface"]].text)
                 if iface:
                     ev["interface"] = iface
             for key in ("bubbles", "cancelable"):
-                if key in cols and len(tds) > cols[key]:
+                if key in cols and cols[key] in tds:
                     v = normalize(tds[cols[key]].text).lower()
                     if v in ("yes", "true", "✓"):
                         ev[key] = True
                     elif v in ("no", "false", "✗"):
                         ev[key] = False
-            if "targets" in cols and len(tds) > cols["targets"]:
+            if "targets" in cols and cols["targets"] in tds:
                 t = normalize(tds[cols["targets"]].text)
                 if t:
                     ev["targets"] = [x.strip() for x in re.split(r"[,;]", t) if x.strip()]

@@ -169,9 +169,12 @@ def clean_method_name_py(name: str) -> str:
 
 
 def clean_method_name_col(c: Column) -> Column:
+    # JS .replace(/ \( */, ...) and .replace(/ *\)/, ...) are first-match
+    # only; anchor with a lazy ^-group so regexp_replace (global) rewrites
+    # just the first occurrence. The comma rule is /g in the reference.
     out = F.regexp_replace(c, r"[\[\]]", "")
-    out = F.regexp_replace(out, r" \( *", "(")
-    out = F.regexp_replace(out, r" *\)", ")")
+    out = F.regexp_replace(out, r"^(.*?) \( *", "$1(")
+    out = F.regexp_replace(out, r"^(.*?) *\)", "$1)")
     return F.regexp_replace(out, r" *,", ",")
 
 

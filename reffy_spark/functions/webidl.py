@@ -89,6 +89,7 @@ class _Parser:
         while self.peek() == "[":
             self.next()
             depth = 1
+            paren = 0
             current: list[str] = []
             groups: list[list[str]] = [current]
             while depth > 0:
@@ -101,7 +102,11 @@ class _Parser:
                     depth -= 1
                     if depth == 0:
                         break
-                if t == "," and depth == 1:
+                elif t == "(":
+                    paren += 1
+                elif t == ")":
+                    paren -= 1
+                if t == "," and depth == 1 and paren == 0:
                     current = []
                     groups.append(current)
                 else:

@@ -767,8 +767,9 @@ def q_events_consolidation(spark, sf_dir):
         (F.col("event_id") % 2 == 1).alias("cancelable"),
         F.array(F.concat(F.lit("T"), _s(F.col("event_id") % 7))).alias("targets"),
         F.concat(F.lit("https://e.test/#"), _s(F.col("event_id") % 100)).alias("href"),
+        F.col("event_id"),
     )
-    out = consolidate_events(synth)
+    out = consolidate_events(synth, order_col="event_id")
     return out.select(
         "type", "interface", "bubbles", "cancelable", "href",
         F.array_join("targets", ",").alias("targets_csv"),

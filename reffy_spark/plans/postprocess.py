@@ -133,26 +133,44 @@ def annotate_links(links: DataFrame, specs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def consolidate_events(events: DataFrame) -> DataFrame:
-    """Merge duplicate events with same (href, cancelable), union targets
-    (events.js:235-253), then the deterministic W5 sort
-    (type, interface nulls-first, href nulls-first)."""
+def consolidate_events(events: DataFrame, order_col: str | None = None) -> DataFrame:
+    """Merge duplicate events with same truthy (href, cancelable), union
+    targets (events.js:235-253: ``e.href && e.href === event.href`` — events
+    without an href are never merged), then the deterministic W5 sort
+    (type, interface nulls-first, href nulls-first).
+
+    The reference keeps the *first* event in document order as the merge
+    survivor; ``order_col`` names that ordering key. When absent, a
+    per-partition monotonic id approximates it (single-source extracts are
+    already in document order per partition).
+    """
+    if order_col is None:
+        events = events.withColumn("_doc_ord", F.monotonically_increasing_id())
+        order_col = "_doc_ord"
+    ord_c = F.col(order_col)
+    mergeable = F.col("href").isNotNull() & (F.col("href") != "")
+    targets_arr = F.coalesce("targets", F.array().cast("array<string>"))
+
     merged = (
-        events.groupBy("href", "cancelable")
+        events.filter(mergeable)
+        .groupBy("href", "cancelable")
         .agg(
-            F.first("type").alias("type"),
-            F.first("interface", ignorenulls=True).alias("interface"),
-            F.first("bubbles", ignorenulls=True).alias("bubbles"),
+            F.min_by("type", ord_c).alias("type"),
+            F.min_by("interface", F.when(F.col("interface").isNotNull(), ord_c)).alias(
+                "interface"
+            ),
+            F.min_by("bubbles", F.when(F.col("bubbles").isNotNull(), ord_c)).alias("bubbles"),
             F.sort_array(
-                F.array_distinct(
-                    F.flatten(
-                        F.collect_list(F.coalesce("targets", F.array().cast("array<string>")))
-                    )
-                )
+                F.array_distinct(F.flatten(F.collect_list(targets_arr)))
             ).alias("targets"),
         )
     )
-    return merged.orderBy(
+    # href-less events pass through unmerged (reference never touches them)
+    passthrough = events.filter(~mergeable).select(
+        "href", "cancelable", "type", "interface", "bubbles",
+        F.sort_array(F.array_distinct(targets_arr)).alias("targets"),
+    )
+    return merged.unionByName(passthrough).orderBy(
         F.col("type").asc(),
         F.col("interface").asc_nulls_first(),
         F.col("href").asc_nulls_first(),

@@ -332,3 +332,23 @@ def test_events_fire_prose_dedup_vs_table():
     res = one(html, "events")
     types = sorted(e["type"] for e in res)
     assert types == ["x", "zoom"]
+
+def test_events_table_rowheader_th_alignment():
+    # tbody rows whose event-name cell is a row-header <th> must not shift
+    # the column map (extract-events.mjs:81-93 reads thead th only; the
+    # event name comes from the row's first cell whatever its tag)
+    html = """
+    <table>
+      <thead><tr><th>Event</th><th>Interface</th><th>Bubbles</th></tr></thead>
+      <tbody>
+        <tr><th id='event-open'>open</th><td>Event</td><td>No</td></tr>
+        <tr><td id='event-close'>close</td><td>CloseEvent</td><td>Yes</td></tr>
+      </tbody>
+    </table>
+    """
+    res = one(html, "events")
+    by_type = {e["type"]: e for e in res}
+    assert by_type["open"]["interface"] == "Event"
+    assert by_type["open"]["bubbles"] is False
+    assert by_type["close"]["interface"] == "CloseEvent"
+    assert by_type["close"]["bubbles"] is True

@@ -181,3 +181,26 @@ def test_event_extension_resolution_j10(spark):
     specs = sorted(r["spec"] for r in rows)
     assert specs == ["a", "a", "d"]
     assert by_key[("d", "zap")]["is_extension"] is True
+
+def test_consolidate_events_nullhref_passthrough_and_order(spark):
+    # events.js:240-242: merging requires a truthy href — null/empty-href
+    # events pass through unmerged; first event in document order wins.
+    events = spark.createDataFrame(
+        [
+            (1, "load", "A", None, False, ["W"], None),
+            (2, "load", "B", True, False, ["X"], None),
+            (3, "click", None, True, False, ["T1"], "https://s/#c"),
+            (4, "click", "I2", False, False, ["T2"], "https://s/#c"),
+        ],
+        "ord int, type string, interface string, bubbles boolean, "
+        "cancelable boolean, targets array<string>, href string",
+    )
+    rows = PP.consolidate_events(events, order_col="ord").collect()
+    assert len(rows) == 3  # two null-href rows unmerged + one merged pair
+    click = [r for r in rows if r["type"] == "click"][0]
+    # first-in-order (ord=3) keeps its null interface slot filled by the
+    # first non-null (I2), bubbles from first non-null (True)
+    assert click["interface"] == "I2" and click["bubbles"] is True
+    assert click["targets"] == ["T1", "T2"]
+    loads = [r for r in rows if r["type"] == "load"]
+    assert {r["interface"] for r in loads} == {"A", "B"}

@@ -105,6 +105,9 @@ def test_clean_method_name_f17(spark):
         ("foo ( a , b )", "foo(a, b)"),
         ("bar ( [ x ] )", "bar(x)"),
         ("baz()", "baz()"),
+        # multi-paren names: only the FIRST " (" / " )" is rewritten
+        # (JS .replace without /g, extract-dfns.mjs:441-442)
+        ("f ( a ) g ( b )", "f(a) g ( b )"),
     ]
     for raw, want in cases:
         assert clean_method_name_py(raw) == want

@@ -99,3 +99,12 @@ def test_empty_and_garbage():
     assert parse_idl("")["idlNames"] == {}
     r = parse_idl("this is ; not idl at all ;")
     assert isinstance(r["idlNames"], dict)
+
+def test_exposed_identifier_list_in_parens():
+    # [Exposed=(Window,Worker)]: commas inside parens must NOT split the
+    # extended attribute (webidl2.js IdentifierList semantics)
+    r = parse_idl("[Exposed=(Window,Worker)] interface Foo { attribute long x; };")
+    assert set(r["exposed"]) == {"Window", "Worker"}
+    assert r["idlNames"]["Foo"]["extAttrs"] == ["Exposed"]
+    assert "Foo" in r["jsNames"]["functions"]["Window"]
+    assert "Foo" in r["jsNames"]["functions"]["Worker"]
