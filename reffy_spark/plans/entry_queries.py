@@ -977,3 +977,13 @@ ORACLES.update(
         "simhash_pairs": _oracle_simhash_pairs(),
     }
 )
+
+
+# ===========================================================================
+# G. Extraction + post-processing oracles (round 2 — see entry_queries_ext)
+# ===========================================================================
+
+from reffy_spark.plans.entry_queries_ext import EXT_ORACLES, EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+ORACLES.update(EXT_ORACLES)

@@ -22,7 +22,8 @@ DFN_SCHEMA = (
     "localLinkingText:array<string>, type:string, for:array<string>, "
     "access:string, informative:boolean, "
     "heading:struct<id:string, href:string, title:string, number:string>, "
-    "definedIn:string>>"
+    "definedIn:string, "
+    "links:array<struct<type:string, id:string, name:string, href:string>>>>"
 )
 
 REF_SCHEMA = (
@@ -88,6 +89,20 @@ def elements_table(extracts: DataFrame, key: str = "url") -> DataFrame:
     return extracts.select(
         key, F.explode(F.from_json("elements", ELEMENT_SCHEMA)).alias("e")
     ).select(key, "e.*")
+
+
+ALGORITHM_SCHEMA = (
+    "array<struct<rationale:string, name:string, href:string, "
+    "steps:array<struct<html:string>>>>"
+)
+
+
+def algorithms_table(extracts: DataFrame, key: str = "url") -> DataFrame:
+    """Long table of algorithms with their document-order index (W6)."""
+    return extracts.select(
+        key,
+        F.posexplode(F.from_json("algorithms", ALGORITHM_SCHEMA)).alias("algo_idx", "a"),
+    ).select(key, "algo_idx", "a.rationale", "a.name", "a.href", "a.steps")
 
 
 CSS_PROPERTY_SCHEMA = (

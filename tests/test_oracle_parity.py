@@ -43,7 +43,10 @@ def _norm(v):
 
 def _rows_to_set(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    # stringify for sorting so rows containing NULLs stay comparable
+    return sorted(
+        tuple(repr(_norm(r[i])) for i in order) for r in rows
+    )
 
 
 QUERY_NAMES = sorted(entry_mod.oracle_sql().keys())
