@@ -98,62 +98,87 @@ _HEADING_TAGS = ("h1", "h2", "h3", "h4", "h5", "h6")
 
 
 def map_ids_to_headings(ctx) -> dict:
-    """Map element href → enclosing section's heading record.
+    """Map element href → enclosing section's heading record via the full
+    HTML outline algorithm (map-ids-to-headings.mjs:48-131 over
+    create-outline.mjs — see reffy_spark.html.outline). ES specs using
+    <emu-clause> markup take the closest-section path
+    (map-ids-to-headings.mjs:133-173)."""
+    from reffy_spark.html.outline import IMPLIED, create_outline
 
-    Simplified outline: the conceptual section of a node is the nearest
-    heading (h1-h6 with an id, or holding an <a name>) that precedes it in
-    document order at any level. The reference runs the full HTML outline
-    algorithm (map-ids-to-headings.mjs:48-173, create-outline.mjs); for
-    flat spec documents the two agree. TODO(parity): full outline for
-    documents with out-of-order sectioning roots.
-    """
     root = ctx.root
-    # collect headings in document order
-    headings: list[tuple[int, dict]] = []
-    for el in root.iter():
-        if el.tag in _HEADING_TAGS:
-            hid = el.id
-            anchor = el.query("a[name]")
-            ids = []
-            href = None
-            if anchor is not None:
-                ids.append(anchor.get("name"))
-                href = get_absolute_url(anchor, ctx, attribute="name")
-            if hid:
-                ids.append(hid)
-                href = get_absolute_url(el, ctx)
-            if not ids:
-                continue
-            text = normalize(clean_text(el))
-            m = RE_NUMBER.match(text)
-            number = m.group(1) if m else None
-            rec: dict = {"id": ids[-1]}
-            rec["href"] = href
-            rec["title"] = RE_NUMBER.sub("", text, count=1) if m else text
-            if len(ids) > 1:
-                rec["alternateIds"] = ids[:-1]
-            if number:
-                rec["number"] = re.sub(r"^Appendix ", "", re.sub(r"[.:]$", "", number))
-            headings.append((el.pos, rec))
+    if root.query("emu-clause") is not None:
+        return _es_map_ids_to_headings(ctx)
+
+    _outline, node_to_section = create_outline(root)
 
     mapping: dict[str, dict] = {}
-    if not headings:
-        return mapping
-    positions = [p for p, _ in headings]
     for el in root.iter():
-        for attr in ("id", "name"):
-            val = el.get(attr)
-            if not val:
-                continue
-            # nearest heading at or before el.pos
-            import bisect
+        attr = "id" if el.get("id") else ("name" if el.get("name") else None)
+        if attr is None:
+            continue
+        section = node_to_section.get(el)
+        # bubble implied-heading sections up to a real heading
+        while section is not None and section.heading == IMPLIED:
+            section = section.parent
+        if section is None or not isinstance(section.heading, Element):
+            continue
+        nodeid = get_absolute_url(el, ctx, attribute=attr)
+        href = nodeid
 
-            i = bisect.bisect_right(positions, el.pos) - 1
-            if i < 0:
-                continue
-            nodeid = get_absolute_url(el, ctx, attribute=attr)
-            mapping[nodeid] = headings[i][1]
-            break
+        heading = section.heading
+        ids: list[str] = []
+        anchor = heading.query("a[name]")
+        if anchor is not None:
+            ids.append(anchor.get("name"))
+            href = get_absolute_url(anchor, ctx, attribute="name")
+        if heading.id:
+            ids.append(heading.id)
+            href = get_absolute_url(heading, ctx)
+        if section.root is not None and section.root.id:
+            ids.append(section.root.id)
+            href = get_absolute_url(section.root, ctx)
+
+        text = normalize(clean_text(heading))
+        m = RE_NUMBER.match(text)
+        number = m.group(1) if m else None
+        rec: dict = {}
+        if ids:
+            rec["id"] = ids.pop()
+        rec["href"] = href
+        rec["title"] = RE_NUMBER.sub("", text, count=1)
+        if ids:
+            rec["alternateIds"] = ids
+        if number:
+            rec["number"] = re.sub(r"^Appendix ", "", re.sub(r"[.:]$", "", number))
+        mapping[nodeid] = rec
+    return mapping
+
+
+def _es_map_ids_to_headings(ctx) -> dict:
+    """EcmaScript emu-clause mapping (map-ids-to-headings.mjs:133-173)."""
+    mapping: dict[str, dict] = {}
+    for el in ctx.root.iter():
+        if not el.id or el.tag == "emu-xref":
+            continue
+        section = el.closest("emu-intro[id], emu-clause[id], emu-annex[id]")
+        if section is None:
+            continue
+        heading = section.query("h1")
+        if heading is None:
+            continue
+        text = normalize(clean_text(heading))
+        nodeid = get_absolute_url(el, ctx)
+        href = get_absolute_url(section, ctx)
+        m = RE_NUMBER.match(text)
+        number = m.group(1) if m else None
+        rec: dict = {}
+        if section.id:
+            rec["id"] = section.id
+        rec["href"] = href
+        rec["title"] = RE_NUMBER.sub("", text, count=1)
+        if number:
+            rec["number"] = re.sub(r"\.$", "", number)
+        mapping[nodeid] = rec
     return mapping
 
 
