@@ -1160,18 +1160,229 @@ def _extract_css_dfns(ctx, els, extractor, duplicates, keep_type, warnings):
     return res
 
 
-def _typed_dfn_extractor(el: Element, ctx) -> dict:
-    """extractTypedDfns subset: name/href/type/for (prose/value parsing of
-    surrounding production rules is a TODO(parity) — extract-cssdfn.mjs
-    pre.prod handling)."""
-    d = {
-        "name": _css_normalize(el.text),
-        "href": get_absolute_url(el, ctx),
-        "type": el.get("data-dfn-type"),
-    }
-    if el.get("data-dfn-for"):
-        d["for"] = normalize(el.get("data-dfn-for"))
-    return d
+# Production-rule splitting (extract-cssdfn.mjs:628,634): a rule starts
+# at "name =" where name is a non-space run or a <boolean-expr[ <t> ]>-
+# style parameterized type; "=" inside quoted strings is not a rule start.
+_RE_SPLIT_RULES = re.compile(r"\s(?=(?:[^\]\s]+?|<.*?\[\s*<.*?>\s*\]>)\s*?=[^'])")
+_RE_PRODUCTION_RULE = re.compile(r"\s?=\s")
+_RE_CSS_COMMENT = re.compile(r"/\*[\s\S]*?\*/")
+
+
+def _parse_production_rule(rule: str, res: list[dict], pure_syntax: bool = False) -> dict:
+    """parseProductionRule (extract-cssdfn.mjs:645-674): record one
+    ``name = value`` rule, preferring pure-syntax sections, combining
+    conflicting re-definitions as alternatives."""
+    name_and_value = [
+        re.sub(r"\s+", " ", s.strip())
+        for s in _RE_PRODUCTION_RULE.split(_RE_CSS_COMMENT.sub("", rule))
+    ]
+    # drop the parameter in `<boolean-expr[ <test> ]>` to get the type name
+    name = re.sub(r"\[[^\]]+\]", "", name_and_value[0], count=1)
+    value = _css_normalize(name_and_value[1])
+    entry = next((e for e in res if e.get("name") == name), None)
+    if entry is None:
+        entry = {"name": name}
+        res.append(entry)
+    if not entry.get("value") or (pure_syntax and not entry.get("pureSyntax")):
+        entry["value"] = value
+        entry["pureSyntax"] = pure_syntax
+    elif entry["value"] != value:
+        entry["value"] += f" | {value}"
+    return entry
+
+
+_CSS_TYPED_DFN_SELECTOR = (
+    "dfn[data-dfn-type=at-rule], dfn[data-dfn-type=selector], "
+    "dfn[data-dfn-type=value], dfn[data-dfn-type=function], "
+    "dfn[data-dfn-type=type]"
+)
+
+
+def _extract_production_rules(ctx) -> list[dict]:
+    """extractProductionRules (extract-cssdfn.mjs:871-915): parse
+    ``pre.prod`` blocks (and dfn-carrying plain ``pre`` blocks) into
+    (name, value) production rules."""
+    els: list[Element] = []
+    for el in ctx.root.query_all("pre"):
+        if el.has_class("prod") and el.query("del, ins") is None:
+            els.append(el)
+    for el in ctx.root.query_all("pre"):
+        if el.has_class("prod") or el.has_class("idl"):
+            continue
+        if el.query(".idl, del, ins") is not None:
+            continue
+        if el.query(_CSS_TYPED_DFN_SELECTOR) is not None:
+            els.append(el)
+
+    rules: list[dict] = []
+    for el in els:
+        if is_informative(el):
+            continue
+        text = clean_text(el, _CSS_ASIDE + ", sup")
+        text = _RE_CSS_COMMENT.sub("", text)
+        for part in _RE_SPLIT_RULES.split(text):
+            part = part.strip()
+            if _RE_PRODUCTION_RULE.search(part):
+                _parse_production_rule(part, rules, pure_syntax=True)
+            elif part.startswith("@"):
+                name = part.split(" ")[0]
+                _parse_production_rule(f"{name} = {part}", rules, pure_syntax=True)
+    return rules
+
+
+def _css_match_name(name: str, dfn: dict, approx: bool = False) -> bool:
+    """matchName (extract-cssdfn.mjs:154-166): exact, @at-rule/descriptor
+    split, and <name>-vs-name approximate matching."""
+    if dfn.get("name") == name:
+        return True
+    if re.fullmatch(r"@.+/.+", name):
+        parts = name.split("/")
+        if dfn.get("name") == parts[1] and dfn.get("for") == parts[0]:
+            return True
+    if approx and f"<{dfn.get('name')}>" == name:
+        return True
+    return False
+
+
+_FN_RE = re.compile(r"^([:a-zA-Z_][:a-zA-Z0-9_\-]+)\([^\)]*\)$")
+
+
+def _get_dfn_names(el: Element) -> list[str]:
+    """getDfnNames (extract-cssdfn.mjs:687-709): among the linking texts,
+    keep the "syntax" forms (@at-rule, fn(), <type>, :selector) — or all
+    of them when every name is a plain keyword/property."""
+    if el.get("data-lt"):
+        names = [_css_normalize(n) for n in el.get("data-lt").split("|")]
+    else:
+        names = [el.text.strip()]
+
+    def _is_syntaxish(n: str) -> bool:
+        return (
+            n.startswith("@")
+            or n.endswith("()")
+            or bool(re.fullmatch(r"<.*>", n))
+            or n.startswith(":")
+        )
+
+    is_keyword_or_property = not any(_is_syntaxish(n) for n in names)
+    has_fn = any(n.endswith("()") for n in names)
+    return [
+        n
+        for n in names
+        if n.startswith("@")
+        or n.endswith("()")
+        or re.fullmatch(r"<.*>", n)
+        or (n.startswith(":") and not has_fn)
+        or is_keyword_or_property
+    ]
+
+
+def _typed_dfn_extractor(el: Element, ctx) -> list[dict]:
+    """extractTypedDfns (extract-cssdfn.mjs:715-868): typed dfn plus the
+    value syntax / prose gleaned from the surrounding production rule,
+    function signature, or dt/dd context."""
+    dfns: list[dict] = []
+    dfn_type = el.get("data-dfn-type")
+    dfn_for = el.get("data-dfn-for")
+    parent = (
+        el
+        if (
+            el.tag in _HEADING_TAGS
+            or el.parent is None
+            or el.parent.tag in ("body", "main", "#root")
+        )
+        else el.parent
+    )
+
+    # skip scoped type/function dfns that just wrap a link to *another*
+    # construct (extract-cssdfn.mjs:729-743)
+    wrapped = el.query("a[data-link-type]")
+    if (
+        dfn_for
+        and dfn_type in ("function", "type")
+        and wrapped is not None
+        and el.text.strip() == wrapped.text.strip()
+    ):
+        raw = wrapped.get("href") or ""
+        absolute = (
+            raw
+            if "://" in raw
+            else (ctx.url.split("#")[0] + raw if raw.startswith("#") else raw)
+        )
+        if absolute != get_absolute_url(el, ctx):
+            return dfns
+
+    text = clean_text(parent, _CSS_ASIDE + ", sup").strip()
+    for name in _get_dfn_names(el):
+        res: dict = {"name": name}
+        fn_m = _FN_RE.match(name)
+        if _RE_PRODUCTION_RULE.search(text):
+            prod = next(
+                (
+                    p
+                    for p in _RE_SPLIT_RULES.split(text)
+                    if p.strip().startswith(el.text.strip())
+                ),
+                None,
+            )
+            if el.closest("pre") is not None:
+                # pre blocks are parsed separately as production rules; a
+                # function dfn on the right-hand side still yields its
+                # parameters (extract-cssdfn.mjs:769-784)
+                if fn_m:
+                    fn = fn_m.group(1)
+                    full_fn = el.text.strip()
+                    if full_fn.startswith(fn + "("):
+                        res = _parse_production_rule(
+                            f"{fn}() = {full_fn}", [], pure_syntax=False
+                        )
+            elif prod:
+                res = _parse_production_rule(prod, [], pure_syntax=True)
+            else:
+                res = {"name": name, "prose": re.sub(r"\s+", " ", text)}
+        elif fn_m:
+            fn = fn_m.group(1)
+            full_fn = el.text.strip()
+            if full_fn.startswith(fn + "(") and full_fn != f"{fn}()":
+                res = _parse_production_rule(
+                    f"{fn}() = {full_fn}", [], pure_syntax=False
+                )
+        elif parent.tag == "dt":
+            dd = next_tag(parent, "dd")
+            if dd is None:
+                continue
+            code = dd.query("code.prod, pre.prod")
+            if code is not None and not is_informative(code):
+                ctext = code.text
+                if ctext.startswith(f"{name} = ") or ctext.startswith(f"<{name}> = "):
+                    res = _parse_production_rule(ctext, [], pure_syntax=True)
+                elif not _RE_PRODUCTION_RULE.search(ctext):
+                    res = _parse_production_rule(
+                        f"{name} = {ctext}", [], pure_syntax=False
+                    )
+            else:
+                # prose from the dd, minus notes/details/sub-lists
+                parts: list[str] = []
+                for child in dd.children:
+                    if isinstance(child, str):
+                        parts.append(child)
+                    elif child.tag in ("details", "dl") or child.has_class("note"):
+                        continue
+                    else:
+                        parts.append(clean_text(child, _CSS_ASIDE + ", sup"))
+                res = {"name": name, "prose": normalize("".join(parts))}
+
+        if not res.get("value") and parent.tag == "p":
+            res["prose"] = normalize(text)
+        if el.id:
+            res["href"] = get_absolute_url(el, ctx)
+        res["type"] = dfn_type
+        if dfn_type == "value":
+            res["value"] = _css_normalize(res["name"])
+        if dfn_for:
+            res["for"] = dfn_for
+        dfns.append(res)
+    return dfns
 
 
 def extract_css(ctx) -> dict:
@@ -1262,6 +1473,8 @@ def extract_css(ctx) -> dict:
             elif "descriptors" not in rule:
                 rule["descriptors"] = []
             rule["descriptors"].append(desc)
+    for rule in atrules:
+        rule.setdefault("descriptors", [])
 
     res = {
         "properties": props,
@@ -1269,6 +1482,127 @@ def extract_css(ctx) -> dict:
         "selectors": selectors,
         "values": values,
     }
+
+    # index of root (non-namespaced + descriptor) dfns
+    # (extract-cssdfn.mjs:130-136)
+    root_dfns: list[dict] = [d for lst in res.values() for d in lst]
+    for desclist in descriptors:
+        root_dfns.extend(desclist)
+
+    # namespaced value dfns (extract-cssdfn.mjs:142-152)
+    values_list: list[dict] = [
+        v
+        for group in _extract_css_dfns(
+            ctx,
+            typed({"value", "function", "type", "selector"}, require_no_for=False),
+            _typed_dfn_extractor,
+            "push",
+            True,
+            warnings,
+        )
+        for v in group
+    ]
+
+    # production rules from pre.prod (extract-cssdfn.mjs:168-199)
+    for rule in _extract_production_rules(ctx):
+        dfn = next(
+            (d for d in root_dfns if _css_match_name(rule["name"], d)), None
+        ) or next(
+            (d for d in root_dfns if _css_match_name(rule["name"], d, approx=True)),
+            None,
+        )
+        if dfn is not None:
+            dfn["value"] = rule["value"]
+            continue
+        matching = [v for v in values_list if _css_match_name(rule["name"], v)]
+        if not matching:
+            matching = [
+                v for v in values_list if _css_match_name(rule["name"], v, approx=True)
+            ]
+        for mv in matching:
+            mv["value"] = rule["value"]
+        if not matching:
+            warning = {"msg": "Missing definition", **rule}
+            warnings.append(warning)
+            root_dfns.append(warning)
+
+    # parents index: direct constructs for each namespaced value, plus the
+    # definitions whose syntax references each non-namespaced type
+    # (A8, extract-cssdfn.mjs:216-243)
+    parents: dict[str, list[str]] = {}
+    for value in values_list:
+        parents.setdefault(value["name"], []).extend(
+            r.strip() for r in value.get("for", "").split(",")
+        )
+    for typ in res["values"]:
+        lst = parents.setdefault(typ["name"], [])
+        for value in values_list:
+            if value.get("value") and typ["name"] in value["value"]:
+                lst.append(value["name"])
+        for dfn in root_dfns:
+            if dfn.get("value") and typ["name"] in dfn["value"]:
+                lst.append(dfn["name"])
+
+    def is_ancestor_of(ancestor: str, child: str, depth: int = 0) -> bool:
+        # bounded walk: the parents graph may contain cycles
+        # (extract-cssdfn.mjs:250-254)
+        if depth >= 10:
+            return False
+        if child == ancestor:
+            return True
+        return any(is_ancestor_of(ancestor, p, depth + 1) for p in parents.get(child, []))
+
+    def is_deepest_construct(name: str, refs: list[str]) -> bool:
+        return all(p == name or not is_ancestor_of(name, p) for p in refs)
+
+    # associate values with the deepest construct they apply to
+    # (extract-cssdfn.mjs:261-299)
+    for value in values_list:
+        refs = [r.strip() for r in value.get("for", "").split(",")]
+        for ref in (r for r in refs if is_deepest_construct(r, refs)):
+            dfn = next(
+                (d for d in root_dfns if _css_match_name(ref, d)), None
+            ) or next(
+                (d for d in root_dfns if _css_match_name(ref, d, approx=True)), None
+            )
+            if dfn is not None:
+                dfn.setdefault("values", []).append(value)
+                continue
+            referenced = [v for v in values_list if _css_match_name(ref, v)]
+            if not referenced:
+                referenced = [
+                    v for v in values_list if _css_match_name(ref, v, approx=True)
+                ]
+            for rv in referenced:
+                rv.setdefault("values", []).append(value)
+            if not referenced:
+                warnings.append({"msg": "Dangling value", **value, "for": ref})
+
+    # strip bookkeeping fields (extract-cssdfn.mjs:302-309)
+    for dfn in root_dfns:
+        dfn.pop("pureSyntax", None)
+    for value in values_list:
+        value.pop("for", None)
+        value.pop("pureSyntax", None)
+
+    # infer selector syntax from the selector name
+    # (extract-cssdfn.mjs:317-345)
+    def set_value_from_name(selector: dict) -> None:
+        if selector.get("value"):
+            return
+        name = selector.get("name", "")
+        if "(" in name:
+            return  # function-like selector
+        if re.match(r"^[:a-z]", name, re.I):
+            selector["value"] = name
+        else:
+            selector["value"] = " ".join(f"'{tok}'" for tok in name)
+
+    for selector in res["selectors"]:
+        set_value_from_name(selector)
+        for sub in selector.get("values", []):
+            set_value_from_name(sub)
+
     if warnings:
         res["warnings"] = warnings
     return res

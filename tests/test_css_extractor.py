@@ -126,3 +126,79 @@ def test_minus_sign_normalization():
     </table>
     """
     assert css(html)["properties"][0]["value"] == "-5"
+
+
+# --- production rules / typed-dfn value syntax (round 2) --------------------
+# cases derived from /root/reference/test/extract-css.js
+
+
+def test_atrule_syntax_from_prod():
+    html = """
+    <dfn data-dfn-type="at-rule" id="at-layer">@layer</dfn> is an at-rule.
+    <pre class="prod">
+      @layer <a class="production">&lt;layer-name&gt;</a>? {
+        <a class="production">&lt;stylesheet&gt;</a>
+      }
+    </pre>
+    """
+    res = css(html)
+    assert res["atrules"] == [
+        {
+            "name": "@layer",
+            "href": f"{URL}#at-layer",
+            "descriptors": [],
+            "value": "@layer <layer-name>? { <stylesheet> }",
+        }
+    ]
+
+
+def test_atrule_syntax_multiple_definitions_combined():
+    html = """
+    <dfn data-dfn-type="at-rule" id="at-layer">@layer</dfn>
+    <pre class="prod">@layer <a>&lt;layer-name&gt;</a>? { &lt;stylesheet&gt; }</pre>
+    <pre class="prod">@layer <a>&lt;layer-name&gt;</a>#;</pre>
+    """
+    res = css(html)
+    assert res["atrules"][0]["value"] == (
+        "@layer <layer-name>? { <stylesheet> } | @layer <layer-name>#;"
+    )
+
+
+def test_type_with_prod_rule_and_scoped_values():
+    html = """
+    <dl><dt><dfn data-dfn-type="type" data-export="" id="valdef-ray-size">&lt;size&gt;</dfn></dt>
+    <dd>
+     <pre class="prod">&lt;size&gt; = [ closest-side | closest-corner | sides ]</pre>
+     <dl>
+      <dt><dfn data-dfn-for="<size>" data-dfn-type="value" data-export=""
+           id="size-closest-side">closest-side</dfn></dt>
+      <dd>Closest side.</dd>
+     </dl>
+    </dd></dl>
+    """
+    res = css(html)
+    types = res["values"]
+    assert len(types) == 1
+    t = types[0]
+    assert t["name"] == "<size>"
+    assert t["value"] == "[ closest-side | closest-corner | sides ]"
+    assert t["values"][0]["name"] == "closest-side"
+    assert t["values"][0]["value"] == "closest-side"
+
+
+def test_function_signature_value():
+    html = (
+        '<p><dfn data-dfn-type="function" data-export="" id="f-ray">'
+        "ray( &lt;angle&gt; &amp;&amp; &lt;size&gt; )</dfn></p>"
+    )
+    res = css(html)
+    fn = res["values"][0]
+    assert fn["name"] == "ray() = ray( <angle> && <size> )".split(" = ")[0]
+    assert fn["value"] == "ray( <angle> && <size> )"
+
+
+def test_selector_value_from_name():
+    html = '<dfn data-dfn-type="selector" data-export="" id="sel-hover">:hover</dfn>'
+    res = css(html)
+    sel = res["selectors"][0]
+    assert sel["name"] == ":hover" and sel["value"] == ":hover"
