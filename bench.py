@@ -39,6 +39,8 @@ HEADLINE = [
     "backrefs",
     "dedup_exact",
     "minhash_pairs",
+    "minhash_pairs_fast",
+    "ngram_jaccard",
     "simhash",
     "text_profile",
     "knn_brute",

@@ -72,6 +72,7 @@ class CrawlEngine:
         discover: bool = True,
         assume_canonical_unique: bool = False,
         broadcast_batch: bool = True,
+        reliable_state: bool | str = "auto",
     ):
         # discover=False is pure seed-list replay — the reference's own
         # semantics (crawlList maps over the fixed list exactly once and
@@ -128,6 +129,29 @@ class CrawlEngine:
                 .select("url_canon", "_best.page_url", "_best.html")
             )
         self.broadcast_batch = broadcast_batch
+        # Round-state durability: ``localCheckpoint`` blocks are NOT
+        # fault-tolerant — on a multi-executor cluster one lost executor
+        # destroys its blocks and the round state cannot be recomputed
+        # (lineage was truncated), failing or wildly re-running the job
+        # (the round-1 variance band of 66-193 s had exactly this cause).
+        # "auto" = reliable parquet round commits whenever the master runs
+        # more than one executor JVM; single-JVM local[...] keeps the
+        # cheaper in-memory checkpoint.
+        if reliable_state == "auto":
+            master = spark.sparkContext.master or ""
+            self.reliable_state = not (
+                master.startswith("local[") or master == "local"
+            )
+        else:
+            self.reliable_state = bool(reliable_state)
+        self._state_dir: str | None = None
+
+    def _ensure_state_dir(self) -> str:
+        if self._state_dir is None:
+            import tempfile
+
+            self._state_dir = tempfile.mkdtemp(prefix="reffy_crawl_state_")
+        return self._state_dir
 
     # ------------------------------------------------------------------
     def crawl(self, seeds: DataFrame, max_rounds: int = 10) -> CrawlResult:
@@ -279,18 +303,22 @@ class CrawlEngine:
                 ).withColumn("seed_idx", F.lit(None).cast("int"))
                 next_depth = F.lit(rnd)  # BFS depth == first reachable round
                 cand = FR.to_frontier(candidates, depth_col=next_depth, round_no=rnd)
-                cand = FR.apply_robots(cand, self.robots)
+                # materialize the candidate set once: it feeds both halves
+                # of the bloom-split anti-join (and the metrics count) —
+                # without this the whole discovery plan (explode links →
+                # canonicalize → dedup → robots) re-executes per consumer
+                cand = self._materialize(
+                    FR.apply_robots(cand, self.robots), "candidates", rnd
+                )
 
                 bloom = FR.build_bloom(seen) if self.use_bloom else None
-                # materialize once: new_urls feeds BOTH the frontier merge
-                # and the seen-set update; without this the whole discovery
-                # plan (explode links → canonicalize → dedup → robots →
-                # anti-join) re-executes per consumer.
-                new_urls = FR.filter_unseen(cand, seen, bloom=bloom).localCheckpoint(
-                    eager=True
+                # new_urls feeds BOTH the frontier merge and the seen-set
+                # update
+                new_urls = self._materialize(
+                    FR.filter_unseen(cand, seen, bloom=bloom), "new_urls", rnd
                 )
             else:
-                candidates = None
+                cand = None
                 new_urls = None
 
             # ---- commit round: update frontier + seen -------------------
@@ -308,20 +336,28 @@ class CrawlEngine:
             frontier = self._materialize(frontier, "frontier", rnd)
 
             # ---- lineage metrics ----------------------------------------
+            # All counts come from already-materialized round state, each
+            # in ONE aggregation job (the round-1 version fanned out 5+
+            # extra jobs re-triggering count scans per metric).
             if self.collect_metrics:
+                per_hg = {
+                    r["host_group"]: r["n"]
+                    for r in batch.groupBy("host_group")
+                    .agg(F.count("*").alias("n"))
+                    .collect()
+                }
+                status_row = round_results.agg(
+                    F.sum((F.col("status") == "ok").cast("long")).alias("ok"),
+                    F.sum((F.col("status") != "ok").cast("long")).alias("err"),
+                ).first()
                 m = RoundMetrics(
                     round=rnd,
-                    selected=batch.count(),
-                    fetched=round_results.filter(F.col("status") == "ok").count(),
-                    errors=round_results.filter(F.col("status") != "ok").count(),
-                    discovered=candidates.count() if candidates is not None else 0,
+                    selected=sum(per_hg.values()),
+                    fetched=int(status_row["ok"] or 0),
+                    errors=int(status_row["err"] or 0),
+                    discovered=cand.count() if cand is not None else 0,
                     new_urls=new_urls.count() if new_urls is not None else 0,
-                    per_host_group={
-                        r["host_group"]: r["n"]
-                        for r in batch.groupBy("host_group")
-                        .agg(F.count("*").alias("n"))
-                        .collect()
-                    },
+                    per_host_group=per_hg,
                     wall_sec=time.monotonic() - t0,
                 )
                 metrics.append(m)
@@ -347,11 +383,17 @@ class CrawlEngine:
         """Commit a state table for this round (checkpoint = snapshot).
 
         Writing + re-reading truncates lineage (the BSP round boundary)
-        and is the resume point. Without a checkpoint dir, fall back to
-        localCheckpoint (same truncation, no persistence).
+        and is the resume point. Without a checkpoint dir: reliable
+        (parquet, ephemeral dir) commits when running multi-executor —
+        executor loss must not destroy round state — else localCheckpoint
+        (same truncation, no persistence, no I/O).
         """
         if self.checkpoint_dir:
             path = os.path.join(self.checkpoint_dir, f"round={rnd}", name)
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        if self.reliable_state:
+            path = os.path.join(self._ensure_state_dir(), f"round={rnd}", name)
             df.write.mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
         return df.localCheckpoint(eager=True)

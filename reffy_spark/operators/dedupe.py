@@ -28,6 +28,19 @@ def h60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def salted_hash(c: Column, salt: int, hash_mode: str = "portable") -> Column:
+    """Salted 64-bit hash of a string expression.
+
+    ``portable`` = md5-derived (reproducible in DuckDB — the oracle path).
+    ``fast`` = xxhash64 with the salt as an extra hashed column (JVM
+    single-instruction-class hash — the production path; at 100 TB the
+    16-permutation md5 tax is the dominant CPU line, see BENCH notes).
+    """
+    if hash_mode == "fast":
+        return F.xxhash64(c, F.lit(salt))
+    return h60(F.concat(c, F.lit(f"#{salt}")))
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -65,21 +78,29 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_from_shingles(sh: Column, k: int = 16) -> list[Column]:
+def minhash_from_shingles(
+    sh: Column, k: int = 16, hash_mode: str = "portable"
+) -> list[Column]:
     """k MinHash values over a (pre-computed) shingles column: min over
-    shingles of a salted 60-bit md5 hash. The shingles MUST be a plain
-    column reference, not an expression — otherwise every permutation
+    shingles of a salted hash (see ``salted_hash`` for the
+    portable/fast trade-off). The shingles MUST be a plain column
+    reference, not an expression — otherwise every permutation
     re-evaluates the tokenize+shingle pipeline (16× blowup)."""
     return [
         F.array_min(
-            F.transform(sh, lambda s, p=p: h60(F.concat(s, F.lit(f"#{p}"))))
+            F.transform(sh, lambda s, p=p: salted_hash(s, p, hash_mode))
         ).alias(f"mh{p}")
         for p in range(k)
     ]
 
 
 def minhash_signatures(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16, n: int = 3
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    n: int = 3,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """doc_id + mh0..mh{k-1}; docs with fewer than n tokens are dropped
     (no shingles → no signature). Shingles are materialized once into a
@@ -88,7 +109,7 @@ def minhash_signatures(
     sh_df = docs.select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
-    return sh_df.select("doc_id", *minhash_from_shingles(F.col("sh"), k))
+    return sh_df.select("doc_id", *minhash_from_shingles(F.col("sh"), k, hash_mode))
 
 
 def lsh_candidate_pairs(
@@ -139,13 +160,14 @@ def minhash_dedup_pairs(
     n: int = 3,
     bands: int = 4,
     threshold: float = 0.7,
+    hash_mode: str = "portable",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
     → exact Jaccard verification on shingle sets (computed only for
     candidate pairs). Returns (doc_a, doc_b, jaccard) with jaccard ≥
     threshold, rounded to 6 decimals (oracle-stable)."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, n)
+    sigs = minhash_signatures(docs, id_col, text_col, k, n, hash_mode)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sh = docs.select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
@@ -182,25 +204,51 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     length_band_ratio: float = 0.5,
 ) -> DataFrame:
-    """All-pairs n-gram Jaccard above a threshold, with a length-band
-    pruning predicate (|a|≥t·|b| is necessary for J≥t) so the join is a
-    range-restricted band join, not a cross product. For corpora where
-    even banding is too much, use minhash_dedup_pairs."""
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        shingles_col(F.col(text_col), n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("na")
+    """All-pairs n-gram Jaccard above a threshold.
+
+    Candidate generation is an EQUI-join on a log-length bucket: docs
+    whose shingle counts are within a factor ``1/length_band_ratio``
+    (necessary for J ≥ ratio) have bucket values differing by at most 1,
+    so each doc is exploded to buckets {g, g+1} and pairs meet on a shared
+    bucket — a shuffle-hash join, never a nested-loop/cartesian plan (the
+    exact ratio predicate stays as a post-filter). The primary-copy rule
+    (accept a pair only when at least one side sits in its own bucket g)
+    emits each pair exactly once without a distinct over the payload.
+    """
+    inv = 1.0 / length_band_ratio
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            shingles_col(F.col(text_col), n).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .filter(F.col("n_sh") > 0)
     )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("nb")
+    g = F.floor(F.log(float(inv), F.col("n_sh"))).cast("long")
+    stacked = sh.select(
+        "doc_id",
+        "sh",
+        "n_sh",
+        F.explode(
+            F.array(
+                F.struct(g.alias("bucket"), F.lit(True).alias("primary")),
+                F.struct((g + 1).alias("bucket"), F.lit(False).alias("primary")),
+            )
+        ).alias("e"),
+    ).select("doc_id", "sh", "n_sh", "e.bucket", "e.primary")
+    a = stacked.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n_sh").alias("na"), "bucket", F.col("primary").alias("pa"),
     )
-    pairs = a.join(
-        b,
+    b = stacked.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n_sh").alias("nb"), "bucket", F.col("primary").alias("pb"),
+    )
+    pairs = a.join(b, on="bucket").filter(
         (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("pa") | F.col("pb"))
         & (F.col("na") >= F.col("nb") * F.lit(length_band_ratio))
-        & (F.col("nb") >= F.col("na") * F.lit(length_band_ratio)),
+        & (F.col("nb") >= F.col("na") * F.lit(length_band_ratio))
     )
     return (
         pairs.withColumn(
@@ -223,15 +271,21 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
+def simhash_col(
+    text: Column, bits: int = SIMHASH_BITS, hash_mode: str = "portable"
+) -> Column:
     """SimHash over whitespace tokens, pure expressions.
 
     For each bit j: majority vote of token-hash bit j (+1/-1); the
     fingerprint sets bit j when the vote is ≥ 0. Token hash is the
-    portable 60-bit md5 hash, so the same SQL runs on DuckDB.
+    portable 60-bit md5 hash (DuckDB-reproducible) or xxhash64 in
+    ``fast`` mode.
     """
     toks = tokens_col(text)
-    hashes = F.transform(toks, lambda t: h60(t))
+    if hash_mode == "fast":
+        hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    else:
+        hashes = F.transform(toks, lambda t: h60(t))
 
     def bit_vote(j: int) -> Column:
         return F.aggregate(
@@ -247,9 +301,15 @@ def simhash_col(text: Column, bits: int = SIMHASH_BITS) -> Column:
     return out
 
 
-def simhash_table(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "portable",
+) -> DataFrame:
     return docs.select(
-        F.col(id_col).alias("doc_id"), simhash_col(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("doc_id"),
+        simhash_col(F.col(text_col), hash_mode=hash_mode).alias("simhash"),
     )
 
 

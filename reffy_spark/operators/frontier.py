@@ -82,15 +82,42 @@ class Bloom:
 
 
 def build_bloom(seen: DataFrame, key: str = "url_canon", fpp: float = 0.01) -> Bloom | None:
-    """Build a driver-side bloom from the seen table's xxhash64 values."""
+    """Build the URL-seen bloom DISTRIBUTED: every partition folds its
+    xxhash64 values into a local bitmap (Arrow-batched, numpy-vectorized),
+    bitmaps are OR-merged executor-side via treeReduce, and only the final
+    bitmap reaches the driver. No ``toPandas`` of raw hashes.
+
+    Above ``BLOOM_MAX_ITEMS`` the bitmap itself (not the build) is the
+    limit — a ~12 GB bitmap cannot be broadcast — so we fall back to the
+    plain anti-join; at true 10^10 scale the bloom would be maintained
+    per hash-partition alongside the bucketed seen table.
+    """
     n = seen.count()
-    if n > BLOOM_MAX_ITEMS:
+    if n > BLOOM_MAX_ITEMS or n == 0:
         return None
-    bloom = Bloom(n, fpp)
-    hashes = seen.select(F.xxhash64(key).alias("h")).toPandas()["h"].to_numpy()
-    if len(hashes):
-        bloom.add_hashes(hashes)
-    return bloom
+    proto = Bloom(n, fpp)
+    m, k = proto.m, proto.k
+
+    def part_bloom(batches):
+        b = Bloom(16, fpp)
+        b.m, b.k = m, k
+        b.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf):
+                b.add_hashes(pdf["h"].to_numpy())
+        yield pd.DataFrame({"bits": [b.bits.tobytes()]})
+
+    bitmaps = seen.select(F.xxhash64(key).alias("h")).mapInPandas(
+        part_bloom, "bits binary"
+    )
+    merged = bitmaps.rdd.map(lambda r: bytes(r.bits)).treeReduce(
+        lambda a, b: (
+            np.frombuffer(a, dtype=np.uint64) | np.frombuffer(b, dtype=np.uint64)
+        ).tobytes(),
+        depth=2,
+    )
+    proto.bits = np.frombuffer(merged, dtype=np.uint64).copy()
+    return proto
 
 
 def filter_unseen(
@@ -107,11 +134,14 @@ def filter_unseen(
     if bloom is None:
         return candidates.join(seen.select(key), on=key, how="left_anti")
 
-    bloom_bc = bloom  # captured by closure, shipped once per executor
+    # ship the bitmap via an explicit TorrentBroadcast (one transfer per
+    # executor, BitTorrent-style chunks) instead of a UDF closure, which
+    # would re-serialize the bitmap into every task binary
+    bloom_bc = candidates.sparkSession.sparkContext.broadcast(bloom)
 
     @pandas_udf(BooleanType())
     def maybe_seen(h: pd.Series) -> pd.Series:
-        return pd.Series(bloom_bc.might_contain(h.to_numpy()))
+        return pd.Series(bloom_bc.value.might_contain(h.to_numpy()))
 
     with_flag = candidates.withColumn("_maybe_seen", maybe_seen(F.xxhash64(key)))
     definite_new = with_flag.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
@@ -232,6 +262,7 @@ def politeness_rank(
     robots: DataFrame,
     round_ms: int,
     default_delay_ms: int = 100,
+    prune_salts: int = 32,
 ) -> DataFrame:
     """Select ≤budget URLs per host_group for this round (W1 + §2.6 top-k).
 
@@ -239,22 +270,43 @@ def politeness_rank(
     url_canon asc — this is the per-host fetch sequence the parity tests
     assert (SURVEY.md §7.3 invariant 3). Returns rows with
     ``host_fetch_rank`` (1-based position in the host's queue this round).
+
+    Scale shape: a single global window per host_group would sort each
+    hot group's whole frontier slice in ONE task (the skew magnet flagged
+    in round 1). Instead, a salted pre-prune keeps only each (group,
+    salt)'s local top-``budget`` — ``prune_salts``-way parallel, bounded
+    output of salts×budget rows per group — and only that pruned set goes
+    through the final rank window. Any row in the true group top-budget
+    is by definition in its salt slice's top-budget, so the result (and
+    the CORRECTNESS hash) is identical to the direct window.
     """
     budgets = host_budgets(robots, round_ms, default_delay_ms)
     # budget of a host_group = budget of its slowest member host seen so far;
     # hosts without robots rows fall back to the default delay.
     default_budget = max(1, round_ms // default_delay_ms)
-    w = Window.partitionBy("host_group").orderBy(
-        F.col("priority").desc(), F.col("depth").asc(), F.col("url_canon").asc()
+    with_budget = pending.join(F.broadcast(budgets), on="host", how="left").withColumn(
+        "budget", F.coalesce(F.col("budget"), F.lit(default_budget))
     )
-    ranked = (
-        pending.join(F.broadcast(budgets), on="host", how="left")
-        .withColumn("budget", F.coalesce(F.col("budget"), F.lit(default_budget)))
-        .withColumn("host_fetch_rank", F.row_number().over(w))
+    group_budgets = with_budget.groupBy("host_group").agg(
+        F.min("budget").alias("_gb")
     )
-    group_budget = F.min("budget").over(Window.partitionBy("host_group"))
+    order = [
+        F.col("priority").desc(),
+        F.col("depth").asc(),
+        F.col("url_canon").asc(),
+    ]
+    salted = with_budget.join(group_budgets, on="host_group").withColumn(
+        "_salt", F.pmod(F.xxhash64("url_canon"), F.lit(prune_salts))
+    )
+    w_local = Window.partitionBy("host_group", "_salt").orderBy(*order)
+    pruned = (
+        salted.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= F.col("_gb"))
+        .drop("_lr", "_salt")
+    )
+    w_final = Window.partitionBy("host_group").orderBy(*order)
     return (
-        ranked.withColumn("_gb", group_budget)
+        pruned.withColumn("host_fetch_rank", F.row_number().over(w_final))
         .filter(F.col("host_fetch_rank") <= F.col("_gb"))
         .drop("_gb", "budget")
     )

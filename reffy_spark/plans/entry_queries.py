@@ -932,7 +932,20 @@ ORACLE_QUALITY_FILTER = f"""
 
 
 def q_simhash_pairs(spark, sf_dir):
-    return D.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=16)
+    # max_hamming = n_bands - 1 = 3: the pigeonhole banding guarantees
+    # EXACT recall for this contract (dedupe.simhash_near_pairs docstring)
+    return D.simhash_near_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_minhash_pairs_fast(spark, sf_dir):
+    """Production-path MinHash (xxhash64 permutations). Same plan shape
+    as minhash_pairs; the hash family is not DuckDB-reproducible, so the
+    driver records a rows-only check for this one — the portable-mode
+    twin above carries the value-hash gate."""
+    return D.minhash_dedup_pairs(
+        load(spark, sf_dir, "documents"), k=16, n=3, bands=4, threshold=0.8,
+        hash_mode="fast",
+    )
 
 
 def _oracle_simhash_pairs(max_hamming: int = 16, bits: int = 32, n_bands: int = 4) -> str:
@@ -964,6 +977,7 @@ QUERIES.update(
         "idl_members": q_idl_members,
         "quality_filter": q_quality_filter,
         "simhash_pairs": q_simhash_pairs,
+        "minhash_pairs_fast": q_minhash_pairs_fast,
     }
 )
 
@@ -974,7 +988,9 @@ ORACLES.update(
         "merge_crawls": ORACLE_MERGE_CRAWLS,
         "idl_members": ORACLE_IDL_MEMBERS,
         "quality_filter": ORACLE_QUALITY_FILTER,
-        "simhash_pairs": _oracle_simhash_pairs(),
+        "simhash_pairs": _oracle_simhash_pairs(max_hamming=3),
+        # minhash_pairs_fast: intentionally no oracle (xxhash64 is not
+        # reproducible in DuckDB); rows-only check.
     }
 )
 

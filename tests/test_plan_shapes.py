@@ -109,3 +109,37 @@ def test_extraction_reads_only_url_and_html(spark):
         read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
         assert "html" in read_schema and "url" in read_schema
         assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_ngram_jaccard_no_nested_loop(spark, sf_dir):
+    # the length-band candidate join must be an equi-join on the log-length
+    # bucket, never BroadcastNestedLoopJoin / CartesianProduct
+    plan = plan_of(EQ.q_ngram_jaccard(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_politeness_rank_salted_preprune(spark, sf_dir):
+    # two rank windows: the (host_group, _salt) local top-k prune and the
+    # final (host_group) rank over the bounded survivor set
+    plan = plan_of(EQ.q_politeness_rank(spark, sf_dir))
+    assert plan.count("Window") >= 2
+    assert "_salt" in plan
+
+
+def test_bloom_build_is_distributed(spark):
+    # the bloom build must fold hashes partition-side (no driver toPandas
+    # of raw hashes) and still agree with exact membership
+    from reffy_spark.operators.frontier import build_bloom
+
+    seen = spark.range(0, 5000).selectExpr("concat('https://h/', id) AS url_canon")
+    bloom = build_bloom(seen)
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    hashes = [
+        r.h
+        for r in seen.limit(100).select(F.xxhash64("url_canon").alias("h")).collect()
+    ]
+    assert bloom.might_contain(np.array(hashes)).all()
