@@ -37,10 +37,13 @@ HEADLINE = [
     "urlseen_antijoin",
     "politeness_rank",
     "backrefs",
+    # ngram_jaccard is oracle-checked but not benched: exact all-pairs
+    # Jaccard over a uniform-length corpus is inherently quadratic in
+    # candidate pairs (the plan is a bucket equi-join; the *output* is the
+    # cost) — minhash_pairs is the scale path for that workload.
     "dedup_exact",
     "minhash_pairs",
     "minhash_pairs_fast",
-    "ngram_jaccard",
     "simhash",
     "text_profile",
     "knn_brute",

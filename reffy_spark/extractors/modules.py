@@ -195,6 +195,12 @@ def get_title(ctx) -> str:
     return f"[No title found for {ctx.url}]"
 
 
+def _document_title(ctx) -> str:
+    """Raw ``document.title`` ('' when the page has no <title>)."""
+    title = ctx.root.query("title")
+    return normalize(title.text) if title is not None else ""
+
+
 def get_generator(ctx) -> str | None:
     """get-generator.mjs:13-27 (static heuristics only: no window.eval —
     respecConfig-global sniffing needs a live page; parity caveat in
@@ -433,8 +439,11 @@ def _definition_mapper(el: Element, ctx, uses_dfn_data_model: bool) -> dict:
         ),
         "access": access,
         "informative": is_informative(el),
+        # fallback uses the raw document title ('' when absent), matching
+        # document.title in extract-dfns.mjs:274-277, NOT getTitle's
+        # "[No title found]" marker
         "heading": ctx.id_to_heading.get(href)
-        or {"href": page_url, "title": get_title(ctx)},
+        or {"href": page_url, "title": _document_title(ctx)},
         "definedIn": defined_in,
         "links": [],
     }
@@ -469,6 +478,17 @@ def extract_dfns(ctx) -> list[dict]:
 
     definitions: list[dict] = []
     for el in candidates:
+        # autofix ReSpec's invalid "idl" dfn type for internal slots
+        # (extract-dfns.mjs:344-354): method when the first linking text
+        # ends with ')', attribute otherwise
+        if el.get("data-dfn-type") == "idl":
+            if el.get("data-lt"):
+                first_lt = normalize(el.get("data-lt").split("|")[0])
+            else:
+                first_lt = normalize(el.text)
+            el.attrs["data-dfn-type"] = (
+                "method" if first_lt.endswith(")") else "attribute"
+            )
         # invalid-type filter (P3)
         dfn_type = el.get("data-dfn-type") or "dfn"
         if dfn_type not in VALID_DFN_TYPES:
@@ -512,7 +532,7 @@ def extract_dfns(ctx) -> list[dict]:
                     "name": normalize(dt.text),
                     "href": href,
                     "heading": ctx.id_to_heading.get(href)
-                    or {"href": ctx.url, "title": get_title(ctx)},
+                    or {"href": ctx.url, "title": _document_title(ctx)},
                 }
             )
     return definitions

@@ -205,3 +205,27 @@ def css_property_to_idl_attributes(prop: str) -> list[str]:
     if prop.startswith("-webkit-"):
         res.append(to_idl(prop, True))
     return res
+
+def _camel_col(name: Column) -> Column:
+    """lowerCamelCase a dashed name (JVM-side; CSS property names are
+    lowercase, so initcap on the later segments matches the reference's
+    per-char uppercasing)."""
+    return F.concat_ws(
+        "",
+        F.transform(
+            F.split(name, "-"),
+            lambda s, i: F.when(i == 0, s).otherwise(F.initcap(s)),
+        ),
+    )
+
+
+def css_property_to_idl_attributes_col(prop: Column) -> Column:
+    """F18 as a Column expression: array of generated IDL attribute names
+    for a CSS property (util.js:923-960; Python twin above)."""
+    camel = _camel_col(prop)
+    webkit = _camel_col(F.substring(prop, 2, 2 ** 30))
+    arr = F.array(prop)
+    arr = F.when(camel != prop, F.concat(arr, F.array(camel))).otherwise(arr)
+    return F.when(
+        prop.startswith("-webkit-"), F.concat(arr, F.array(webkit))
+    ).otherwise(arr)

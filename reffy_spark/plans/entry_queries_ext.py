@@ -826,3 +826,319 @@ EXT_ORACLES = {
     "cssmerge": ORACLE_CSSMERGE,
     "extract_css": ORACLE_EXTRACT_CSS,
 }
+
+
+# ===========================================================================
+# J5: idlparsed dfn-href attachment
+# ===========================================================================
+
+
+def q_idl_dfn_hrefs(spark, sf_dir):
+    """J5 candidate-name priority join: IDL from doc_id arithmetic,
+    dfns constructed so each lookup class is exercised — method dfn with
+    args form (i%3!=0), ambiguous attribute dfns (i%5==0), construct
+    dfn always present."""
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://j5.test/d", i, "/")
+    overload = F.when(
+        F.col("doc_id") % 4 == 0,
+        _cat("  undefined m", i, "(DOMString a, long b);\n"),
+    ).otherwise(F.lit(""))
+    idl = _cat(
+        "interface I", i, " {\n",
+        "  undefined m", i, "(DOMString a);\n",
+        overload,
+        "  attribute long attr", i, ";\n};\n",
+    )
+    extracts = d.select("doc_id", url.alias("url"), idl.alias("idl"))
+    parsed = PP.idlparsed(extracts)
+
+    iface_dfn = d.select(
+        url.alias("url"), F.lit("interface").alias("type"),
+        F.array().cast("array<string>").alias("for"),
+        F.array(_cat("I", i)).alias("linkingText"),
+        _cat(url, "#iface").alias("href"),
+    )
+    method_dfn = d.filter(F.col("doc_id") % 3 != 0).select(
+        url.alias("url"), F.lit("method").alias("type"),
+        F.array(_cat("I", i)).alias("for"),
+        F.array(_cat("m", i, "(a)")).alias("linkingText"),
+        _cat(url, "#m").alias("href"),
+    )
+    attr_dfn1 = d.filter(F.col("doc_id") % 5 == 0).select(
+        url.alias("url"), F.lit("attribute").alias("type"),
+        F.array(_cat("I", i)).alias("for"),
+        F.array(_cat("attr", i)).alias("linkingText"),
+        _cat(url, "#a1").alias("href"),
+    )
+    attr_dfn2 = d.filter(F.col("doc_id") % 5 == 0).select(
+        url.alias("url"), F.lit("attribute").alias("type"),
+        F.array(_cat("I", i)).alias("for"),
+        F.array(_cat("attr", i)).alias("linkingText"),
+        _cat(url, "#a2").alias("href"),
+    )
+    dfns = iface_dfn.unionByName(method_dfn).unionByName(attr_dfn1).unionByName(
+        attr_dfn2
+    )
+    out = PP.idl_dfn_hrefs(parsed, dfns)
+    return out.select(
+        "url", "construct", "member", "member_type", "overload_index", "href"
+    )
+
+
+ORACLE_IDL_DFN_HREFS = """
+    WITH base AS (
+      SELECT doc_id, 'https://j5.test/d' || doc_id || '/' AS url FROM documents
+    )
+    -- construct rows always resolve to the interface dfn
+    SELECT url, 'I' || doc_id AS construct, NULL AS member,
+           NULL AS member_type, 0 AS overload_index, url || '#iface' AS href
+    FROM base
+    UNION ALL
+    -- first overload: dfn "m{i}(a)" matches via the plain-args candidate
+    SELECT url, 'I' || doc_id, 'm' || doc_id, 'operation', 0,
+           CASE WHEN doc_id % 3 <> 0 THEN url || '#m' END
+    FROM base
+    UNION ALL
+    -- second overload (i%4==0): args "(a, b)" miss the "(a)" dfn, but the
+    -- bare "m{i}()" fallback... does NOT match "m{i}(a)" either -> href
+    -- only via no candidate -> NULL
+    SELECT url, 'I' || doc_id, 'm' || doc_id, 'operation', 1, NULL
+    FROM base WHERE doc_id % 4 = 0
+    UNION ALL
+    -- attributes: two identical dfns (i%5==0) -> ambiguous -> NULL;
+    -- otherwise no dfn -> NULL
+    SELECT url, 'I' || doc_id, 'attr' || doc_id, 'attribute', 0, NULL
+    FROM base
+"""
+
+
+# ===========================================================================
+# J14: interface-tree / bubbling-path attachment
+# ===========================================================================
+
+
+def q_interface_tree(spark, sf_dir):
+    """Events carrying interfaces that resolve to a known tree directly
+    (i%4==0 → Node), via inheritance (i%4==1 → El{i} → Node;
+    i%4==2 → Req{i} → IDBRequest), or not at all (i%4==3)."""
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    iface = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("Node"))
+        .when(F.col("doc_id") % 4 == 1, _cat("El", i))
+        .when(F.col("doc_id") % 4 == 2, _cat("Req", i))
+        .otherwise(_cat("Other", i))
+    )
+    events = d.select(_cat("ev", i).alias("type"), iface.alias("interface"))
+    interfaces = d.filter(F.col("doc_id") % 4 == 1).select(
+        _cat("El", i).alias("name"), F.lit("Node").alias("inheritance")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 4 == 2).select(
+            _cat("Req", i).alias("name"), F.lit("IDBRequest").alias("inheritance")
+        )
+    )
+    out = PP.attach_interface_tree(events, interfaces)
+    return out.select(
+        "type", "interface", "tree", "tree_interface", "tree_depth",
+        F.array_join("bubblingPath", ",").alias("bubbling_csv"),
+    )
+
+
+ORACLE_INTERFACE_TREE = """
+    SELECT 'ev' || doc_id AS type,
+           CASE doc_id % 4 WHEN 0 THEN 'Node' WHEN 1 THEN 'El' || doc_id
+                WHEN 2 THEN 'Req' || doc_id ELSE 'Other' || doc_id END AS interface,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'dom'
+                WHEN doc_id % 4 = 2 THEN 'IndexedDB' END AS tree,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'Node'
+                WHEN doc_id % 4 = 2 THEN 'IDBRequest' END AS tree_interface,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 3
+                WHEN doc_id % 4 = 2 THEN 2 END AS tree_depth,
+           CASE WHEN doc_id % 4 IN (0, 1) THEN 'Node,Document,Window'
+                WHEN doc_id % 4 = 2 THEN 'IDBTransaction,IDBDatabase'
+                ELSE NULL END AS bubbling_csv
+    FROM documents
+"""
+
+
+# ===========================================================================
+# csscomplete + patch-dfns
+# ===========================================================================
+
+
+def q_csscomplete(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://cc.test/d", i, "/")
+    css_props = d.select(
+        url.alias("url"),
+        _cat("prop-", _s(F.col("doc_id") % 40)).alias("name"),
+        _cat(url, "#p").alias("href"),
+        F.lit("none").alias("value"),
+    ).unionByName(
+        d.filter(F.col("doc_id") % 7 == 0).select(
+            url.alias("url"), F.lit("property-name").alias("name"),
+            _cat(url, "#pn").alias("href"), F.lit(None).cast("string").alias("value"),
+        )
+    )
+    dfns = d.select(
+        url.alias("url"),
+        F.array(_cat("-webkit-extra-", _s(F.col("doc_id") % 9))).alias("linkingText"),
+        F.lit("property").alias("type"),
+        (F.col("doc_id") % 2 == 0).alias("informative"),
+        _cat(url, "#prose").alias("href"),
+    )
+    out = PP.csscomplete_properties(css_props, dfns)
+    return out.select(
+        "url", "name", "href", "value",
+        F.array_join("styleDeclaration", ",").alias("style_csv"),
+    )
+
+
+ORACLE_CSSCOMPLETE = """
+    WITH base AS (
+      SELECT doc_id, 'https://cc.test/d' || doc_id || '/' AS url FROM documents
+    )
+    -- camelCase of 'prop-13' is 'prop13' (digits have no uppercase)
+    SELECT url, 'prop-' || (doc_id % 40) AS name, url || '#p' AS href,
+           'none' AS value,
+           'prop-' || (doc_id % 40) || ',prop' || (doc_id % 40) AS style_csv
+    FROM base
+    UNION ALL
+    -- prose-defined -webkit- properties from non-informative dfns
+    SELECT url, '-webkit-extra-' || (doc_id % 9), url || '#prose', NULL,
+           '-webkit-extra-' || (doc_id % 9) ||
+           ',WebkitExtra' || (doc_id % 9) ||
+           ',webkitExtra' || (doc_id % 9)
+    FROM base WHERE doc_id % 2 <> 0
+"""
+
+
+def q_patch_dfns(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("https://w3c.github.io/deviceorientation/"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("https://www.w3.org/TR/portals/x/"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("https://www.w3.org/TR/WebCryptoAPI/"))
+        .otherwise(F.lit("https://plain.test/spec/"))
+    )
+    lt = F.when(
+        F.col("doc_id") % 8 == 0, F.array(F.lit("PermissionState"))
+    ).when(
+        F.col("doc_id") % 8 == 1, F.array(F.lit("MessageEventSource"))
+    ).otherwise(F.array(_cat("term-", i)))
+    dfns = d.select(
+        F.col("doc_id"),
+        url.alias("url"),
+        lt.alias("linkingText"),
+        F.array().cast("array<string>").alias("for"),
+        F.lit("public").alias("access"),
+    )
+    out = PP.patch_dfns(dfns)
+    return out.select(
+        "doc_id", "url", F.array_join("linkingText", ",").alias("lt_csv"), "access"
+    )
+
+
+ORACLE_PATCH_DFNS = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN 'https://w3c.github.io/deviceorientation/'
+               WHEN 1 THEN 'https://www.w3.org/TR/portals/x/'
+               WHEN 2 THEN 'https://www.w3.org/TR/WebCryptoAPI/'
+               ELSE 'https://plain.test/spec/' END AS url,
+             CASE WHEN doc_id % 8 = 0 THEN 'PermissionState'
+                  WHEN doc_id % 8 = 1 THEN 'MessageEventSource'
+                  ELSE 'term-' || doc_id END AS lt_csv
+      FROM documents
+    )
+    SELECT doc_id, url, lt_csv,
+           CASE WHEN doc_id % 4 = 2 THEN 'private' ELSE 'public' END AS access
+    FROM base
+    WHERE NOT (doc_id % 4 = 0 AND doc_id % 8 = 0)      -- orientation dup drop
+      AND NOT (doc_id % 4 = 1 AND doc_id % 8 = 1)      -- portals dup drop
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "idl_dfn_hrefs": q_idl_dfn_hrefs,
+        "interface_tree": q_interface_tree,
+        "csscomplete": q_csscomplete,
+        "patch_dfns": q_patch_dfns,
+    }
+)
+
+EXT_ORACLES.update(
+    {
+        "idl_dfn_hrefs": ORACLE_IDL_DFN_HREFS,
+        "interface_tree": ORACLE_INTERFACE_TREE,
+        "csscomplete": ORACLE_CSSCOMPLETE,
+        "patch_dfns": ORACLE_PATCH_DFNS,
+    }
+)
+
+
+# ===========================================================================
+# A9 full: crawl-level cssmerge consolidation
+# ===========================================================================
+
+
+def q_cssmerge_full(spark, sf_dir):
+    """Latest-level base election + newValues union + extended hrefs over
+    arithmetic per-spec property rows (even docs define, odd docs extend
+    prop-(doc_id % 20))."""
+    from reffy_spark.plans.cssmerge import consolidate_features
+
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    name = _cat("prop-", _s(F.col("doc_id") % 20))
+    href = _cat("https://cm.test/d", i, "/#p")
+    feats = d.select(
+        F.lit("properties").alias("category"),
+        name.alias("name"),
+        F.lit(None).cast("string").alias("for"),
+        href.alias("href"),
+        F.when(F.col("doc_id") % 2 == 0, _cat("v", i)).alias("value"),
+        F.when(F.col("doc_id") % 2 == 1, _cat("n", i)).alias("new_values"),
+        F.lit(None).cast("string").alias("legacy_alias_of"),
+        _cat("series-", _s(F.col("doc_id") % 20)).alias("series"),
+        F.col("doc_id").cast("double").alias("series_version"),
+        _cat("https://cm.test/d", i, "/").alias("spec_url"),
+    )
+    out = consolidate_features(feats)
+    return out.select(
+        "category", "name", "href", "syntax",
+        F.array_join("extended", ",").alias("extended_csv"),
+    )
+
+
+ORACLE_CSSMERGE_FULL = """
+    WITH rows_ AS (
+      SELECT doc_id, doc_id % 20 AS k,
+             'https://cm.test/d' || doc_id || '/#p' AS href
+      FROM documents
+    ),
+    best AS (
+      SELECT k, MAX(doc_id) AS bi FROM rows_ WHERE doc_id % 2 = 0 GROUP BY k
+    ),
+    exts AS (
+      SELECT k,
+             string_agg('n' || doc_id, ' | ' ORDER BY doc_id) AS ext_values,
+             string_agg(href, ',' ORDER BY doc_id) AS ext_hrefs
+      FROM rows_ WHERE doc_id % 2 = 1 GROUP BY k
+    )
+    SELECT 'properties' AS category, 'prop-' || b.k AS name,
+           'https://cm.test/d' || b.bi || '/#p' AS href,
+           'v' || b.bi || COALESCE(' | ' || e.ext_values, '') AS syntax,
+           COALESCE(e.ext_hrefs, '') AS extended_csv
+    FROM best b LEFT JOIN exts e ON b.k = e.k
+"""
+
+
+EXT_QUERIES["cssmerge_full"] = q_cssmerge_full
+EXT_ORACLES["cssmerge_full"] = ORACLE_CSSMERGE_FULL

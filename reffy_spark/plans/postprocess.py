@@ -547,3 +547,349 @@ def resolve_event_extensions(events: DataFrame) -> DataFrame:
         "extendedIn", F.array().cast("array<string>")
     )
     return out.unionByName(unresolved.select(*out.columns))
+
+
+# --------------------------------------------------------------------------
+# csscomplete: prose-defined properties + styleDeclaration names
+# --------------------------------------------------------------------------
+
+
+def csscomplete_properties(css_props: DataFrame, dfns: DataFrame) -> DataFrame:
+    """csscomplete post-processor (csscomplete.js:13-47), relational form.
+
+    Adds CSS properties defined only in prose (non-informative dfns of
+    type ``property`` whose linking text is not already a property),
+    attaches the generated IDL attribute names (F18 kernel) as
+    ``styleDeclaration``, and drops the placeholder names the source
+    specs flag incorrectly (``property-name``, ``--*``).
+
+    Inputs are per-spec long tables: css_props (url, name, href, ...)
+    and dfns (url, linkingText array, type, informative, href).
+    """
+    from reffy_spark.functions.text import css_property_to_idl_attributes_col
+
+    prose = (
+        dfns.filter(
+            (F.col("type") == "property")
+            & ~F.coalesce(F.col("informative"), F.lit(False))
+        )
+        .select("url", F.explode("linkingText").alias("name"), "href")
+    )
+    additions = prose.join(
+        css_props.select("url", "name"), on=["url", "name"], how="left_anti"
+    )
+    base = css_props.unionByName(additions, allowMissingColumns=True)
+    return base.filter(~F.col("name").isin("property-name", "--*")).withColumn(
+        "styleDeclaration", css_property_to_idl_attributes_col(F.col("name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# patch-dfns: hardcoded spec-specific dfn cleanups
+# --------------------------------------------------------------------------
+
+
+def patch_dfns(dfns: DataFrame, url_col: str = "url") -> DataFrame:
+    """patch-dfns post-processor (patch-dfns.js:14-51): drop the known
+    duplicate definitions and demote the non-dfn-data-model /TR specs'
+    dfns to private access."""
+    u = F.col(url_col)
+    is_orientation = u.contains("/deviceorientation/") | u.contains(
+        "/TR/orientation-event/"
+    )
+    is_portals = u.contains("/portals/")
+    non_model = (
+        u.contains("/TR/WebCryptoAPI/")
+        | u.contains("/TR/pub-manifest/")
+        | u.contains("/TR/audiobooks/")
+    )
+    lt = F.coalesce(F.col("linkingText"), F.array().cast("array<string>"))
+    fr = F.coalesce(F.col("for"), F.array().cast("array<string>"))
+    drop_orientation = is_orientation & (
+        F.array_contains(lt, "PermissionState") | F.array_contains(fr, "PermissionState")
+    )
+    drop_portals = is_portals & (lt[0] == "MessageEventSource")
+    return dfns.filter(
+        ~F.coalesce(drop_orientation, F.lit(False))
+        & ~F.coalesce(drop_portals, F.lit(False))
+    ).withColumn(
+        "access", F.when(non_model, F.lit("private")).otherwise(F.col("access"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J14: interface-tree lookup (bubbling paths for events)
+# --------------------------------------------------------------------------
+
+# util.js:989-1012 — known interface trees; the depth of an interface is
+# its LAST index in the list, the bubbling path walks back to the root.
+INTERFACE_TREES: dict[str, list[str]] = {
+    "dom": ["Window", "Document", "Node", "Node"],
+    "IndexedDB": ["IDBDatabase", "IDBTransaction", "IDBRequest"],
+    "web-bluetooth": [
+        "Bluetooth",
+        "BluetoothDevice",
+        "BluetoothRemoteGATTService",
+        "BluetoothRemoteGATTCharacteristic",
+        "BluetoothRemoteGATTDescriptor",
+    ],
+    "serial": ["Serial", "SerialPort"],
+}
+
+
+def _tree_lookup_rows() -> list[tuple]:
+    rows = []
+    for tree, nodes in INTERFACE_TREES.items():
+        for iface in dict.fromkeys(nodes):
+            depth = len(nodes) - 1 - nodes[::-1].index(iface)  # lastIndexOf
+            rows.append((iface, tree, iface, depth, list(reversed(nodes[:depth]))))
+    return rows
+
+
+def attach_interface_tree(
+    df: DataFrame,
+    interfaces: DataFrame,
+    iface_col: str = "interface",
+    max_hops: int = 8,
+) -> DataFrame:
+    """J14 (util.js:1029-1046): resolve each row's interface to its tree
+    via the inheritance chain, attaching tree / tree_interface / depth /
+    bubblingPath (null when no tree matches).
+
+    Relational shape: the tree table is a tiny literal (broadcast); the
+    inheritance chain is unrolled into ``max_hops`` broadcast joins
+    against the (name, inheritance) interface index — real chains are
+    shallow, and unrolling keeps everything a pure Column plan.
+    """
+    spark = df.sparkSession
+    tree_df = spark.createDataFrame(
+        _tree_lookup_rows(),
+        "_ti string, tree string, tree_interface string, tree_depth int, "
+        "bubblingPath array<string>",
+    )
+    parents = interfaces.select(
+        F.col("name").alias("_pn"), F.col("inheritance").alias("_pi")
+    ).filter(F.col("_pi").isNotNull())
+
+    out = df.withColumn("_cur", F.col(iface_col))
+    out = (
+        out.join(F.broadcast(tree_df), out["_cur"] == tree_df["_ti"], "left")
+        .drop("_ti")
+    )
+    for _ in range(max_hops):
+        # step unresolved rows to their parent interface, then retry
+        out = (
+            out.join(F.broadcast(parents), out["_cur"] == parents["_pn"], "left")
+            .withColumn(
+                "_next", F.when(F.col("tree").isNull(), F.col("_pi"))
+            )
+            .drop("_pn", "_pi")
+        )
+        step = out.filter(F.col("tree").isNull() & F.col("_next").isNotNull()).drop(
+            "tree", "tree_interface", "tree_depth", "bubblingPath"
+        )
+        done = out.filter(F.col("tree").isNotNull() | F.col("_next").isNull())
+        step = (
+            step.withColumn("_cur", F.col("_next"))
+            .drop("_next")
+            .join(F.broadcast(tree_df), F.col("_cur") == tree_df["_ti"], "left")
+            .drop("_ti")
+        )
+        out = done.drop("_next").unionByName(step)
+    return out.drop("_cur")
+
+
+# --------------------------------------------------------------------------
+# J5: idlparsed → dfn href attachment (candidate-name priority join)
+# --------------------------------------------------------------------------
+
+_MEMBER_ARGS_SCHEMA = (
+    "map<string, struct<type:string, inheritance:string, "
+    "members:array<struct<type:string, name:string, value:string, idlType:string, "
+    "special:array<string>, static:boolean, "
+    "arguments:array<struct<name:string, variadic:boolean>>>>>>"
+)
+
+_SKIP_MEMBER_TYPES = ("async_iterable", "iterable", "maplike", "setlike")
+_SKIP_SPECIALS = ("getter", "setter", "stringifier", "deleter")
+
+
+def idl_dfn_hrefs(
+    idlparsed_df: DataFrame, dfns: DataFrame, key: str = "url"
+) -> DataFrame:
+    """J5: attach definition hrefs to IDL constructs and members by the
+    reference's candidate-name priority lookup
+    (src/postprocessing/idlparsed.js:16-112): filter dfns by (type, for),
+    then try linking-text candidates in priority order — overload-tagged
+    name, variadic-args form, plain-args form, bare ``name()`` — taking
+    the first rank with matches; more than one match at that rank means
+    ambiguity → null href.
+
+    ``dfns`` is the per-spec dfns long table (url, type,
+    for array<string>, linkingText array<string>, href).
+    Returns (url, construct, member, member_type, overload_index, href).
+    """
+    exploded = (
+        idlparsed_df.select(
+            key,
+            F.explode(
+                F.from_json(
+                    F.get_json_object("idlparsed", "$.idlNames"), _MEMBER_ARGS_SCHEMA
+                )
+            ).alias("construct", "c"),
+        )
+        .select(
+            key,
+            "construct",
+            F.col("c.type").alias("construct_type"),
+            F.posexplode_outer("c.members").alias("member_idx", "m"),
+        )
+    )
+    w = Window.partitionBy(key, "construct", F.col("m.name")).orderBy("member_idx")
+    members = exploded.withColumn(
+        "overload_index",
+        F.when(
+            F.col("m.type") == "operation", F.row_number().over(w) - 1
+        ).otherwise(F.lit(0)),
+    )
+
+    args = F.coalesce(
+        F.col("m.arguments"),
+        F.array().cast("array<struct<name:string,variadic:boolean>>"),
+    )
+    arg_names = F.array_join(F.transform(args, lambda a: a["name"]), ", ")
+    arg_names_variadic = F.array_join(
+        F.transform(
+            args,
+            lambda a: F.concat(
+                F.when(a["variadic"], F.lit("...")).otherwise(F.lit("")), a["name"]
+            ),
+        ),
+        ", ",
+    )
+    member_name = F.coalesce(F.col("m.name"), F.col("m.value"))
+    dfn_type = (
+        F.when(F.col("m.type") == "operation", F.lit("method"))
+        .when(F.col("m.type") == "field", F.lit("dict-member"))
+        .when(F.col("m.type") == "constructor", F.lit("constructor"))
+        .otherwise(F.col("m.type"))
+    )
+    dfn_name = F.when(F.col("m.type") == "constructor", F.lit("constructor")).otherwise(
+        member_name
+    )
+    is_method_like = F.col("m.type").isin("operation", "constructor")
+    candidates = F.when(
+        is_method_like,
+        F.array(
+            F.concat(
+                dfn_name, F.lit("!overload-"), F.col("overload_index").cast("string"),
+                F.lit("("), arg_names, F.lit(")"),
+            ),
+            F.concat(dfn_name, F.lit("("), arg_names_variadic, F.lit(")")),
+            F.concat(dfn_name, F.lit("("), arg_names, F.lit(")")),
+            F.concat(dfn_name, F.lit("()")),
+        ),
+    ).otherwise(F.array(dfn_name))
+
+    skip = F.col("m.type").isin(*_SKIP_MEMBER_TYPES) | F.arrays_overlap(
+        F.coalesce(F.col("m.special"), F.array().cast("array<string>")),
+        F.array(*[F.lit(s) for s in _SKIP_SPECIALS]),
+    )
+
+    # member-level lookup rows + construct-level lookup rows
+    member_rows = members.filter(F.col("m").isNotNull() & ~skip).select(
+        key,
+        "construct",
+        F.col("m.type").alias("raw_member_type"),
+        member_name.alias("member"),
+        dfn_type.alias("dfn_type"),
+        F.col("construct").alias("dfn_for"),
+        "overload_index",
+        F.posexplode(candidates).alias("rank", "candidate"),
+    )
+    construct_rows = (
+        idlparsed_df.select(
+            key,
+            F.explode(
+                F.from_json(
+                    F.get_json_object("idlparsed", "$.idlNames"),
+                    "map<string, struct<type:string>>",
+                )
+            ).alias("construct", "c"),
+        )
+        .select(
+            key,
+            "construct",
+            F.lit(None).cast("string").alias("raw_member_type"),
+            F.lit(None).cast("string").alias("member"),
+            F.split(F.col("c.type"), " ")[0].alias("dfn_type"),
+            F.lit(None).cast("string").alias("dfn_for"),
+            F.lit(0).alias("overload_index"),
+            F.lit(0).alias("rank"),
+            F.col("construct").alias("candidate"),
+        )
+    )
+    lookups = member_rows.unionByName(construct_rows)
+
+    d = dfns.select(
+        F.col(key).alias("_durl"),
+        F.col("type").alias("_dtype"),
+        F.col("for").alias("_dfor"),
+        F.col("linkingText").alias("_dlt"),
+        F.col("href").alias("_dhref"),
+    )
+    joined = lookups.join(
+        d,
+        (F.col(key) == F.col("_durl"))
+        & (F.col("dfn_type") == F.col("_dtype"))
+        & F.array_contains(F.col("_dlt"), F.col("candidate"))
+        & (
+            F.col("dfn_for").isNull()
+            | F.array_contains(
+                F.coalesce(F.col("_dfor"), F.array().cast("array<string>")),
+                F.col("dfn_for"),
+            )
+        ),
+        "left",
+    )
+    per_rank = joined.groupBy(
+        key, "construct", "member", "raw_member_type", "overload_index", "rank"
+    ).agg(
+        F.count("_dhref").alias("n_dfns"),
+        F.min("_dhref").alias("href_if_any"),
+    )
+    # first rank with matches wins; >1 match there → ambiguous → null
+    best = (
+        per_rank.filter(F.col("n_dfns") > 0)
+        .groupBy(key, "construct", "member", "raw_member_type", "overload_index")
+        .agg(F.min_by(F.struct("n_dfns", "href_if_any"), F.col("rank")).alias("b"))
+        .select(
+            key, "construct", "member", "raw_member_type", "overload_index",
+            F.when(F.col("b.n_dfns") == 1, F.col("b.href_if_any")).alias("href"),
+        )
+    )
+    all_keys = lookups.select(
+        key, "construct", "member", "raw_member_type", "overload_index"
+    ).distinct()
+    b = best.select(
+        F.col(key).alias("_bk"),
+        F.col("construct").alias("_bc"),
+        F.col("member").alias("_bm"),
+        F.col("raw_member_type").alias("_bt"),
+        F.col("overload_index").alias("_bo"),
+        "href",
+    )
+    # construct-level rows carry NULL member/member_type — join null-safe
+    return (
+        all_keys.join(
+            b,
+            (F.col(key) == F.col("_bk"))
+            & (F.col("construct") == F.col("_bc"))
+            & F.col("member").eqNullSafe(F.col("_bm"))
+            & F.col("raw_member_type").eqNullSafe(F.col("_bt"))
+            & (F.col("overload_index") == F.col("_bo")),
+            "left",
+        )
+        .drop("_bk", "_bc", "_bm", "_bt", "_bo")
+        .withColumnRenamed("raw_member_type", "member_type")
+    )

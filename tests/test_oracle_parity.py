@@ -66,6 +66,12 @@ def test_query_matches_oracle(name, spark, sf_dir, ddb):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    if len(spark_rows) != len(duck_rows):
+        import sys
+        a = _rows_to_set(spark_cols, spark_rows)
+        b = _rows_to_set(duck_cols, duck_rows)
+        print(f"DEBUG {name}: spark-only:", [r for r in a if r not in b][:5], file=sys.stderr)
+        print(f"DEBUG {name}: duck-only:", [r for r in b if r not in a][:5], file=sys.stderr)
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )

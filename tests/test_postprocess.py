@@ -204,3 +204,92 @@ def test_consolidate_events_nullhref_passthrough_and_order(spark):
     assert click["targets"] == ["T1", "T2"]
     loads = [r for r in rows if r["type"] == "load"]
     assert {r["interface"] for r in loads} == {"A", "B"}
+
+
+def test_idl_dfn_hrefs_priority_and_ambiguity(spark):
+    idl = (
+        "[Exposed=Window] interface Foo {\n"
+        "  undefined go(DOMString a);\n"
+        "  undefined go(DOMString a, long b);\n"
+        "  attribute long size;\n};"
+    )
+    extracts = spark.createDataFrame([("https://s/", idl)], "url string, idl string")
+    dfns = spark.createDataFrame(
+        [
+            ("https://s/", "method", ["Foo"], ["go(a)"], "https://s/#go"),
+            ("https://s/", "method", ["Foo"], ["go(a, b)"], "https://s/#go2"),
+            ("https://s/", "attribute", ["Foo"], ["size"], "https://s/#s1"),
+            ("https://s/", "attribute", ["Foo"], ["size"], "https://s/#s2"),
+            ("https://s/", "interface", [], ["Foo"], "https://s/#foo"),
+        ],
+        "url string, type string, for array<string>, linkingText array<string>, "
+        "href string",
+    )
+    out = PP.idl_dfn_hrefs(PP.idlparsed(extracts), dfns)
+    by_key = {
+        (r["member"], r["overload_index"]): r["href"] for r in out.collect()
+    }
+    assert by_key[(None, 0)] == "https://s/#foo"  # construct
+    assert by_key[("go", 0)] == "https://s/#go"
+    assert by_key[("go", 1)] == "https://s/#go2"
+    assert by_key[("size", 0)] is None  # ambiguous -> null (idlparsed.js:100-106)
+
+
+def test_attach_interface_tree(spark):
+    events = spark.createDataFrame(
+        [("click", "HTMLElement"), ("abort", "IDBRequest"), ("x", "Lonely")],
+        "type string, interface string",
+    )
+    ifaces = spark.createDataFrame(
+        [("HTMLElement", "Element"), ("Element", "Node")],
+        "name string, inheritance string",
+    )
+    rows = {r["type"]: r for r in PP.attach_interface_tree(events, ifaces).collect()}
+    assert rows["click"]["tree"] == "dom"
+    assert rows["click"]["tree_interface"] == "Node"
+    assert rows["click"]["tree_depth"] == 3  # lastIndexOf(Node) in the dom tree
+    assert rows["click"]["bubblingPath"] == ["Node", "Document", "Window"]
+    assert rows["abort"]["tree"] == "IndexedDB" and rows["abort"]["tree_depth"] == 2
+    assert rows["x"]["tree"] is None
+
+
+def test_csscomplete_properties(spark):
+    css = spark.createDataFrame(
+        [("u", "color", "u#c"), ("u", "property-name", "u#pn"), ("u", "--*", "u#v")],
+        "url string, name string, href string",
+    )
+    dfns = spark.createDataFrame(
+        [
+            ("u", ["-webkit-line-clamp"], "property", False, "u#wlc"),
+            ("u", ["color"], "property", False, "u#c2"),  # already present
+            ("u", ["ghost"], "property", True, "u#g"),  # informative -> skipped
+            ("u", ["not-a-prop"], "dfn", False, "u#n"),
+        ],
+        "url string, linkingText array<string>, type string, informative boolean, "
+        "href string",
+    )
+    rows = {r["name"]: r for r in PP.csscomplete_properties(css, dfns).collect()}
+    assert set(rows) == {"color", "-webkit-line-clamp"}
+    assert rows["color"]["href"] == "u#c"  # existing row kept, no dup added
+    assert rows["-webkit-line-clamp"]["styleDeclaration"] == [
+        "-webkit-line-clamp", "WebkitLineClamp", "webkitLineClamp",
+    ]
+
+
+def test_patch_dfns_rules(spark):
+    dfns = spark.createDataFrame(
+        [
+            ("https://w3c.github.io/deviceorientation/", ["PermissionState"], [], "public"),
+            ("https://w3c.github.io/deviceorientation/", ["keep"], [], "public"),
+            ("https://x.test/portals/", ["MessageEventSource"], [], "public"),
+            ("https://www.w3.org/TR/audiobooks/", ["term"], [], "public"),
+            ("https://other.test/", ["PermissionState"], [], "public"),
+        ],
+        "url string, linkingText array<string>, for array<string>, access string",
+    )
+    rows = [(r["url"], r["linkingText"][0], r["access"]) for r in PP.patch_dfns(dfns).collect()]
+    assert ("https://w3c.github.io/deviceorientation/", "keep", "public") in rows
+    assert not any(u.endswith("deviceorientation/") and t == "PermissionState" for u, t, _ in rows)
+    assert not any("portals" in u for u, _, _ in rows)
+    assert ("https://www.w3.org/TR/audiobooks/", "term", "private") in rows
+    assert ("https://other.test/", "PermissionState", "public") in rows
