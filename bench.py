@@ -148,6 +148,14 @@ spark = get_spark("scale", cores={cores}, shuffle_partitions={cores},
                   extra_conf={{
                       "spark.executor.memory": "9g",
                       "spark.sql.files.maxPartitionBytes": str(4*1024*1024),
+                      # the Arrow extraction stage saturates every core with
+                      # python workers; JVM heartbeat threads starve and the
+                      # driver SIGTERMs "lost" executors mid-run (exit 143),
+                      # the round-1/round-2 variance cause. Relax liveness
+                      # deadlines -- this sandbox has no real node failures.
+                      "spark.executor.heartbeatInterval": "60s",
+                      "spark.network.timeout": "600s",
+                      "spark.worker.timeout": "600",
                   }})
 pages = spark.read.parquet({corpus!r} + "/pages.parquet")
 seeds = spark.read.parquet({corpus!r} + "/seeds.parquet")

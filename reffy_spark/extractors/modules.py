@@ -823,11 +823,278 @@ _FIRE_FUNCTIONAL_RE = re.compile(
 _GENERIC_EVENT_NAMES = frozenset(["eventname", "type", "e", "event", "name"])
 
 
-def _extract_fired_events(ctx) -> list[dict]:
-    """'Fire an event named X' prose path (extract-events.mjs:222-300,
-    simplified: the text window is the parent's content from the firing
-    link to the next firing link / end of parent)."""
-    events = []
+_EVENT_IFACE_RE = re.compile(r"^([A-Z]+[a-z0-9]*)+Event$")
+
+
+def _idl_event_handlers(ctx) -> dict[str, list[str]]:
+    """Map event name -> interfaces declaring an on<name> EventHandler
+    attribute in the spec's own IDL (extract-events.mjs:12-35)."""
+    try:
+        from reffy_spark.functions.webidl import parse_idl
+
+        idl = extract_webidl(ctx)
+        if not idl:
+            return {}
+        report = parse_idl(idl)
+    except Exception:
+        # spec defines some invalid Web IDL, proceed without it
+        return {}
+    if report.get("hasSyntaxErrors"):
+        # webidl2.js throws on invalid IDL and the reference then ignores
+        # the whole dump; mirror that
+        return {}
+    handled: dict[str, list[str]] = {}
+
+    def scan(name: str, construct: dict) -> None:
+        if construct.get("type") not in ("interface", "interface mixin"):
+            return
+        for m in construct.get("members") or []:
+            if (
+                m.get("type") == "attribute"
+                and (m.get("name") or "").startswith("on")
+                and m.get("idlType") == "EventHandler"
+            ):
+                handled.setdefault(m["name"][2:], []).append(name)
+
+    for name, construct in (report.get("idlNames") or {}).items():
+        scan(name, construct)
+    for name, exts in (report.get("idlExtendedNames") or {}).items():
+        for ext in exts:
+            scan(name, ext)
+    return handled
+
+
+def _is_same_event(e1: dict, e2: dict) -> bool:
+    """isSameEvent (extract-events.mjs:38-48): same type AND (same href,
+    or same target set — both-missing counts as same — or the second
+    event comes from an event-definition table)."""
+    if e1.get("type") != e2.get("type"):
+        return False
+    if e1.get("href") and e1.get("href") == e2.get("href"):
+        return True
+
+    def tkey(e):
+        t = e.get("targets")
+        return "|".join(sorted(t)) if t is not None else None
+
+    if tkey(e1) == tkey(e2):
+        return True
+    return (e2.get("src") or {}).get("format") == "event table"
+
+
+def _el_by_id(ctx, frag: str):
+    if not frag:
+        return None
+    return next((e for e in ctx.root.iter() if e.id == frag), None)
+
+
+def _href_of(el, ctx) -> str | None:
+    """href helper (extract-events.mjs:7-8): absolute URL when the
+    element exists and has an id, else None."""
+    if el is None or not el.get("id"):
+        return None
+    return get_absolute_url(el, ctx)
+
+
+def _targets_of(el, ctx, handled: dict[str, list[str]]) -> list[str] | None:
+    """fromEventElementToTargetInterfaces (extract-events.mjs:50-70)."""
+    if el is None:
+        return None
+    scoped = el.get("data-dfn-for") or el.get("data-link-for")
+    if scoped:
+        return [t.strip() for t in scoped.split(",")]
+    raw = el.get("href") or ""
+    if raw.startswith("#"):
+        dfn = _el_by_id(ctx, raw[1:])
+        if dfn is not None and dfn.get("data-dfn-for"):
+            return [t.strip() for t in dfn.get("data-dfn-for").split(",")]
+    elif handled.get(el.text):
+        matching = handled[el.text]
+        if len(matching) == 1:
+            return list(matching)
+    return None
+
+
+def _nth_child_td(tr, idx: int):
+    """td:nth-child(idx+1): the element child at that position, only if
+    it is a td."""
+    cells = tr.child_elements()
+    if 0 <= idx < len(cells) and cells[idx].tag == "td":
+        return cells[idx]
+    return None
+
+
+def _table_rows(table, thead):
+    """tbody tr (or non-thead rows when the markup has no explicit tbody
+    — browsers synthesize one, html.parser does not)."""
+    tbody = table.query("tbody")
+    if tbody is not None:
+        return tbody.query_all("tr")
+    rows = table.query_all("tr")
+    if thead is not None:
+        in_head = set(id(r) for r in thead.query_all("tr"))
+        rows = [r for r in rows if id(r) not in in_head]
+    return rows
+
+
+def _summary_and_def_tables(ctx, handled, events) -> bool:
+    """Event summary tables + CSS definition tables
+    (extract-events.mjs:76-168). Returns hasStructuredData."""
+    has_structured = False
+    # the DOM spec uses a matching table format for legacy event types
+    if "dom.spec.whatwg.org" in ctx.url:
+        return False
+    for table in ctx.root.query_all("table"):
+        thead = table.query("thead")
+        first_th = thead.query("th") if thead is not None else None
+        first_heading = first_th.text.strip() if first_th is not None else None
+        if (
+            first_heading
+            and first_heading.startswith("Event")
+            and first_heading != "Event handler"
+        ):
+            has_structured = True
+            ths = [normalize(th.text) for th in thead.query_all("th")]
+
+            def col(pred):
+                return next((i for i, h in enumerate(ths) if pred(h)), -1)
+
+            bub_col = col(lambda h: h.lower().startswith("bubbl"))
+            canc_col = col(lambda h: h.lower().startswith("cancel"))
+            iface_col = col(lambda h: re.match(r"^(dom )?interface", h, re.I))
+            targets_col = col(lambda h: re.search(r"target", h, re.I))
+
+            for tr in _table_rows(table, thead):
+                cells = tr.child_elements()
+                if not cells:
+                    continue
+                event_el = cells[0]
+                el = event_el.query("dfn, a") or event_el.query("code")
+                if el is None:
+                    continue
+                event: dict = {}
+                if el.tag == "dfn" and el.id:
+                    event["href"] = _href_of(el, ctx)
+                elif el.tag == "a":
+                    raw = el.get("href") or ""
+                    if not raw.startswith("https://"):
+                        frag = raw.split("#", 1)[1] if "#" in raw else ""
+                        event["href"] = _href_of(_el_by_id(ctx, frag), ctx)
+                    else:
+                        event["href"] = raw
+                event["src"] = {
+                    "format": "summary table",
+                    "href": _href_of(el.closest("[id]"), ctx),
+                }
+                event["type"] = clean_text(event_el, "aside, .mdn-anno").strip()
+                event["targets"] = _targets_of(
+                    event_el.query("dfn, a[href^=#]"), ctx, handled
+                )
+                if bub_col >= 0:
+                    cell = _nth_child_td(tr, bub_col)
+                    event["bubbles"] = (
+                        cell is not None and cell.text.strip() == "Yes"
+                    )
+                if canc_col >= 0:
+                    cell = _nth_child_td(tr, canc_col)
+                    event["cancelable"] = bool(
+                        cell is not None
+                        and re.search(r"(yes)|✓|(varies)", cell.text.strip(), re.I)
+                    )
+                if iface_col >= 0:
+                    cell = _nth_child_td(tr, iface_col)
+                    if cell is not None:
+                        ref = cell.query("a") or cell.query("code")
+                        if ref is not None:
+                            event["interface"] = ref.text
+                if targets_col >= 0 and not event.get("targets"):
+                    cell = _nth_child_td(tr, targets_col)
+                    if cell is not None:
+                        event["targets"] = [
+                            t.strip() for t in cell.text.split(",")
+                        ]
+                events.append(event)
+        elif table.get("class", "") == "def":
+            # CSS definition table, one property per row
+            # (extract-events.mjs:141-168, used in css-nav-1)
+            row_ths = table.query_all("tbody th") or [
+                next((c for c in tr.child_elements() if c.tag == "th"), None)
+                for tr in _table_rows(table, None)
+            ]
+            row_ths = [th for th in row_ths if th is not None]
+            headings = [th.text.strip() for th in row_ths]
+            if "Bubbles" not in headings:
+                continue
+
+            def row(pred):
+                return next((i for i, h in enumerate(headings) if pred(h)), -1)
+
+            rows = _table_rows(table, None)
+
+            def row_td(idx):
+                if 0 <= idx < len(rows):
+                    return _nth_child_td(rows[idx], 1)
+                return None
+
+            type_cell = row_td(row(lambda h: re.match(r"^type", h, re.I)))
+            bub_cell = row_td(row(lambda h: h == "Bubbles"))
+            canc_cell = row_td(row(lambda h: h == "Cancelable"))
+            iface_cell = row_td(row(lambda h: re.match(r"^interface", h, re.I)))
+            event_name = type_cell.text.strip() if type_cell is not None else None
+            if event_name:
+                loc = _href_of(table.closest("[id]"), ctx)
+                events.append(
+                    {
+                        "type": event_name,
+                        "interface": (
+                            iface_cell.text.strip() if iface_cell is not None else None
+                        ),
+                        "bubbles": (
+                            bub_cell.text.strip() == "Yes"
+                            if bub_cell is not None
+                            else None
+                        ),
+                        "cancelable": (
+                            canc_cell.text.strip() == "Yes"
+                            if canc_cell is not None
+                            else None
+                        ),
+                        "src": {"format": "css definition table", "href": loc},
+                        "href": loc,
+                    }
+                )
+    return has_structured
+
+
+def _event_definition_tables(ctx, events) -> None:
+    """table.event-definition (extract-events.mjs:172-214, Pointer/UI
+    Events)."""
+    for table in ctx.root.query_all("table.event-definition"):
+        event: dict = {}
+        for tr in table.query_all("tr"):
+            name_el = tr.query("th")
+            value_el = tr.query("td")
+            if name_el is None or value_el is None:
+                continue
+            name = name_el.text.strip().lower()
+            value = value_el.text.strip()
+            if name == "trusted targets":
+                event["targets"] = [v.strip() for v in value.split(",")]
+            elif name in ("type", "interface"):
+                event[name] = value
+            elif name in ("bubbles", "cancelable"):
+                event[name] = value.lower() == "yes"
+        event["src"] = {
+            "format": "event table",
+            "href": _href_of(table.closest("[id]"), ctx),
+        }
+        # prefer the summary table over an event-definition table
+        if not any(_is_same_event(e, event) for e in events):
+            events.append(event)
+
+
+def _extract_fired_events(ctx, handled, events) -> None:
+    """'Fire an event named X' prose (extract-events.mjs:218-370)."""
     for a in ctx.root.query_all("a[href]"):
         if a.get("href") not in _FIRING_HREFS:
             continue
@@ -836,149 +1103,226 @@ def _extract_fired_events(ctx) -> list[dict]:
         parent = a.parent
         if parent is None:
             continue
-        # text window: from this anchor to the next firing anchor sibling
+        # text window: the firing link through to the next firing link
+        # sibling (or container end), minus aside annotations
         parts: list[str] = []
         seen_anchor = False
+        next_firing = None
+        window_els: list[Element] = []
         for child in parent.children:
             if child is a:
                 seen_anchor = True
-                parts.append(a.text)
+                parts.append(clean_text(a, "aside, .mdn-anno"))
                 continue
             if not seen_anchor:
                 continue
             if isinstance(child, str):
                 parts.append(child)
-            elif (
-                child.tag == "a" and child.get("href") in _FIRING_HREFS
-            ):
+            elif child.tag == "a" and child.get("href") in _FIRING_HREFS:
+                next_firing = child
                 break
-            elif child.matches(_ASIDE_SELECTOR):
-                continue
             else:
-                parts.append(child.text)
+                parts.append(clean_text(child, "aside, .mdn-anno"))
+                window_els.append(child)
         window = "".join(parts)
-        m = _FIRE_RE.search(window) or _FIRE_FUNCTIONAL_RE.search(window)
-        if not m:
+
+        phrasing = None
+        m = _FIRE_RE.search(window)
+        if m:
+            phrasing = "fire an event" if m.group(2) == "n" else "fire a pointer event"
+        else:
+            m = _FIRE_FUNCTIONAL_RE.search(window)
+            if m:
+                phrasing = "fire functional event"
+        if not phrasing:
             continue
         name = m.group("eventName")
-        if name.lower() in _GENERIC_EVENT_NAMES:
+        if name in ("eventName", "type", "e", "event", "name"):
             continue
-        anchor_id = a.closest("[id]")
-        ev: dict = {
-            "type": name,
-            "src": {"format": "fire an event phrasing"},
+
+        loc = _href_of(a.closest("[id]"), ctx)
+        event: dict = {
+            "src": {"format": "fire an event phrasing", "href": loc},
+            "href": loc,
         }
-        if anchor_id is not None:
-            loc = get_absolute_url(anchor_id, ctx)
-            ev["src"]["href"] = loc
-            ev["href"] = loc
-        # an adjacent element whose text is exactly the event name refines
-        # the href (extract-events.mjs:289-299)
+        event["type"] = name
         nxt = a.next_element_sibling
-        if nxt is not None and normalize(nxt.text) == name:
-            target = nxt.query("a, dfn") or nxt
-            if target.tag == "a" and target.get("href"):
-                ev["href"] = target.get("href")
-            elif target.tag == "dfn" and target.id:
-                ev["href"] = get_absolute_url(target, ctx)
-        events.append(ev)
-    return events
-
-
-def _is_same_event(a: dict, b: dict) -> bool:
-    """isSameEvent equivalence (events.js:39-48, simplified to the
-    type × href core)."""
-    return a.get("type") == b.get("type") and a.get("href") == b.get("href")
-
-
-def extract_events(ctx) -> list[dict]:
-    """extract-events.mjs: summary tables (:80-221) + 'fire an event'
-    prose (:222-300). IDL EventHandler inference (J6) and extension
-    merging (J9-J11) live in plans.postprocess."""
-    events = []
-    for table in ctx.root.query_all("table"):
-        # Header detection mirrors extract-events.mjs:81-93: thead th only
-        # (first th-bearing tr when there is no explicit thead) — tbody
-        # row-header th cells must NOT contribute column positions.
-        thead = table.query("thead")
-        if thead is not None:
-            header_row = thead.query("tr")
-        else:
-            header_row = next(
+        event_el = None
+        if nxt is not None and nxt.text.strip() == name:
+            event_el = nxt.query("a, dfn") or nxt
+        if event_el is not None:
+            if event_el.tag == "a" and event_el.get("href"):
+                raw = event_el.get("href")
+                event["href"] = (
+                    ctx.url.split("#")[0] + raw if raw.startswith("#") else raw
+                )
+            elif event_el.tag == "dfn" and event_el.id:
+                event["href"] = _href_of(event_el, ctx)
+            event["targets"] = _targets_of(event_el, ctx, handled)
+        # merge into an already-detected combination
+        new_event = True
+        for e in events:
+            if _is_same_event(event, e):
+                new_event = False
+                event = e
+                break
+        if not event.get("interface"):
+            iface = next(
                 (
-                    tr
-                    for tr in table.query_all("tr")
-                    if any(c.tag == "th" for c in tr.child_elements())
+                    el.text.strip()
+                    for el in window_els
+                    if _EVENT_IFACE_RE.match(el.text)
                 ),
                 None,
             )
-        if header_row is None:
-            continue
-        header_cells = [
-            normalize(c.text).lower()
-            for c in header_row.child_elements()
-            if c.tag == "th"
-        ]
-        if not header_cells or "event" not in " ".join(header_cells):
-            continue
-        cols = {}
-        for i, h in enumerate(header_cells):
-            if h in ("event", "event type", "name"):
-                cols["type"] = i
-            elif "interface" in h:
-                cols["interface"] = i
-            elif "bubbles" in h:
-                cols["bubbles"] = i
-            elif "cancelable" in h or "cancellable" in h:
-                cols["cancelable"] = i
-            elif "target" in h:
-                cols["targets"] = i
-        if "type" not in cols:
-            continue
-        for tr in table.query_all("tr"):
-            if tr is header_row:
-                continue
-            cells = [c for c in tr.child_elements() if c.tag in ("td", "th")]
-            if not cells or all(c.tag == "th" for c in cells):
-                continue  # secondary header row
-            # event name comes from the row's FIRST cell regardless of
-            # td/th (extract-events.mjs:100 `*:first-child`); other columns
-            # require a td at the header position (`td:nth-child(N)`).
-            tds = {
-                i: c for i, c in enumerate(cells) if c.tag == "td" or i == 0
-            }
-            if cols["type"] not in tds:
-                continue
-            type_cell = tds[cols["type"]]
-            ev: dict = {
-                "type": normalize(type_cell.text),
-                "src": {"format": "summary table"},
-            }
-            code = type_cell.query("[id]")
-            target = code if code is not None else (type_cell if type_cell.id else None)
-            if target is not None:
-                ev["href"] = get_absolute_url(target, ctx)
-            if "interface" in cols and cols["interface"] in tds:
-                iface = normalize(tds[cols["interface"]].text)
-                if iface:
-                    ev["interface"] = iface
-            for key in ("bubbles", "cancelable"):
-                if key in cols and cols[key] in tds:
-                    v = normalize(tds[cols[key]].text).lower()
-                    if v in ("yes", "true", "✓"):
-                        ev[key] = True
-                    elif v in ("no", "false", "✗"):
-                        ev[key] = False
-            if "targets" in cols and cols["targets"] in tds:
-                t = normalize(tds[cols["targets"]].text)
-                if t:
-                    ev["targets"] = [x.strip() for x in re.split(r"[,;]", t) if x.strip()]
-            if ev["type"]:
-                events.append(ev)
-    for ev in _extract_fired_events(ctx):
-        if not any(_is_same_event(e, ev) for e in events):
-            events.append(ev)
-    return events
+            if iface:
+                event["interface"] = iface
+            elif phrasing == "fire an event":
+                event["interface"] = "Event"
+            elif phrasing == "fire a pointer event":
+                event["interface"] = "PointerEvent"
+            else:
+                event["interface"] = "ExtendableEvent"
+        if event.get("bubbles") is None and event.get("cancelable") is None:
+            if re.search(r"bubbles and cancelable attributes", window):
+                if re.search(r"true", window):
+                    event["bubbles"] = True
+                    event["cancelable"] = True
+                elif re.search(r"false", window):
+                    event["bubbles"] = False
+                    event["cancelable"] = False
+        if event.get("bubbles") is None:
+            if re.search(r"bubbles attribute", window):
+                if re.search(r"true", window):
+                    event["bubbles"] = True
+                elif re.search(r"false", window):
+                    event["bubbles"] = False
+            elif re.search(r"not bubble", window):
+                event["bubbles"] = False
+            elif re.search(r"bubbles|bubbling", window):
+                event["bubbles"] = True
+        if event.get("cancelable") is None:
+            if re.search(r"cancelable attribute", window):
+                if re.search(r"true", window):
+                    event["cancelable"] = True
+                elif re.search(r"false", window):
+                    event["cancelable"] = False
+            elif re.search(r"not cancelable|not be cancelable", window):
+                event["cancelable"] = False
+            elif re.search(r"cancelable", window):
+                event["cancelable"] = True
+        if new_event:
+            events.append(event)
+
+
+def _complete_with_idl_handlers(ctx, handled, events, has_structured) -> None:
+    """IDL on<event> EventHandler completion
+    (extract-events.mjs:373-406)."""
+    for event_name, ifaces in handled.items():
+        matching = [e for e in events if e.get("type") == event_name]
+        if not matching and not has_structured:
+            for iface in ifaces:
+                events.append(
+                    {
+                        "type": event_name,
+                        "targets": [iface],
+                        "interface": None,
+                        "src": {"format": "IDL eventHandler", "href": None},
+                    }
+                )
+        elif len(matching) == 1:
+            if not matching[0].get("targets"):
+                matching[0]["targets"] = list(ifaces)
+
+
+def _event_dfns(ctx, handled, events) -> None:
+    """dfn[data-dfn-type=event] definitions (extract-events.mjs:409-469),
+    including the CSS Animations/Transitions dt/dd + heading pattern."""
+    for dfn in ctx.root.query_all("dfn[data-dfn-type=event]"):
+        ev_type = dfn.text.strip()
+        container = dfn.parent
+        event = {
+            "type": ev_type,
+            "interface": None,
+            "targets": _targets_of(dfn, ctx, handled),
+            "src": {"format": "dfn", "href": _href_of(dfn.closest("[id]"), ctx)},
+            "href": _href_of(dfn, ctx),
+        }
+        bubbles = cancelable = iface = None
+        if container is not None and container.tag == "dt":
+            dd = container.next_element_sibling
+            items = dd.query_all("li") if dd is not None else []
+            bub_item = next(
+                (li for li in items if li.text.startswith("Bubbles:")), None
+            )
+            if bub_item is not None:
+                bubbles = bool(re.search(r"yes", bub_item.text, re.I))
+            canc_item = next(
+                (li for li in items if li.text.startswith("Cancelable:")), None
+            )
+            if canc_item is not None:
+                cancelable = bool(re.search(r"yes", canc_item.text, re.I))
+            # the interface is documented in the section heading
+            cur = container.parent
+            while cur is not None and cur.tag not in _HEADING_TAGS:
+                cur = cur.previous_element_sibling
+            iface_el = cur.query("code") if cur is not None else None
+            if iface_el is not None and re.match(
+                r"^[A-Z][a-z]+Event$", iface_el.text or ""
+            ):
+                iface = iface_el.text
+        existing = next((e for e in events if _is_same_event(event, e)), None)
+        if existing is None:
+            if iface:
+                event["interface"] = iface
+            if bubbles is not None:
+                event["bubbles"] = bubbles
+            if cancelable is not None:
+                event["cancelable"] = cancelable
+            events.append(event)
+        else:
+            if iface:
+                existing["interface"] = iface
+            if not existing.get("href") and event.get("href"):
+                existing["href"] = event["href"]
+            if bubbles is not None:
+                existing["bubbles"] = bubbles
+            if cancelable is not None:
+                existing["cancelable"] = cancelable
+
+
+def extract_events(ctx) -> list[dict]:
+    """extract-events.mjs (full surface): summary tables, CSS definition
+    tables, event-definition tables, 'fire an event' prose, IDL
+    EventHandler completion, event dfns, and extension marking for hrefs
+    pointing outside the page."""
+    handled = _idl_event_handlers(ctx)
+    events: list[dict] = []
+    has_structured = _summary_and_def_tables(ctx, handled, events)
+    _event_definition_tables(ctx, events)
+    _extract_fired_events(ctx, handled, events)
+    _complete_with_idl_handlers(ctx, handled, events, has_structured)
+    _event_dfns(ctx, handled, events)
+
+    out = []
+    for e in events:
+        # drop null properties (extract-events.mjs:472-485)
+        if "interface" in e and not e["interface"]:
+            del e["interface"]
+        if "href" in e and not e["href"]:
+            del e["href"]
+        if e.get("src") and "href" in e["src"] and not e["src"]["href"]:
+            del e["src"]["href"]
+        if "bubbles" in e and e["bubbles"] is None:
+            del e["bubbles"]
+        if "cancelable" in e and e["cancelable"] is None:
+            del e["cancelable"]
+        if "targets" in e and e["targets"] is None:
+            del e["targets"]
+        if e.get("href") and not e["href"].startswith(ctx.url):
+            e["isExtension"] = True
+        out.append(e)
+    return out
 
 
 def extract_algorithms(ctx) -> list[dict]:

@@ -398,6 +398,29 @@ def parse_idl(idl: str) -> dict:
     for deps in all_deps.values():
         ext_deps.update(d for d in deps if d not in known)
     report["externalDependencies"] = sorted(ext_deps)
+
+    # Flag mis-parses so strict consumers can mirror webidl2.js's throw
+    # semantics (the reference ignores a spec's ENTIRE IdL when any
+    # fragment is invalid — extract-events.mjs:13-22). The lenient parser
+    # stays in sync by skipping to ';', which produces members whose
+    # names are not valid IDL identifiers.
+    ident = re.compile(r"^[A-Za-z_][0-9A-Za-z_-]*$")
+
+    def _valid(construct: dict) -> bool:
+        for m in construct.get("members") or []:
+            name = m.get("name")
+            if name is not None and not ident.match(name):
+                return False
+        return True
+
+    if not all(
+        _valid(c) for c in report["idlNames"].values()
+    ) or not all(
+        _valid(e)
+        for exts in report["idlExtendedNames"].values()
+        for e in exts
+    ):
+        report["hasSyntaxErrors"] = True
     return report
 
 

@@ -298,8 +298,10 @@ def q_extract_events(spark, sf_dir):
     html = _cat(
         "<table><thead><tr><th>Event</th><th>Interface</th><th>Bubbles</th>",
         "<th>Cancelable</th><th>Targets</th></tr></thead><tbody>",
-        '<tr><td id="event-', i, '">ev', _s(F.col("doc_id") % 20), "</td>",
-        "<td>IF", _s(F.col("doc_id") % 5), "</td><td>Yes</td><td>", canc,
+        '<tr><td><dfn id="event-', i, '">ev', _s(F.col("doc_id") % 20),
+        "</dfn></td>",
+        "<td><code>IF", _s(F.col("doc_id") % 5), "</code></td><td>Yes</td><td>",
+        canc,
         "</td><td>T", _s(F.col("doc_id") % 3), ", U", _s(F.col("doc_id") % 3),
         "</td></tr></tbody></table>",
     )

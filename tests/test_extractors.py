@@ -259,17 +259,17 @@ def test_generator_respec_and_none():
 def test_events_summary_table():
     html = """
     <table>
-      <tr><th>Event</th><th>Interface</th><th>Bubbles</th><th>Cancelable</th>
-          <th>Targets</th></tr>
-      <tr><td id='event-click'>click</td><td>PointerEvent</td><td>Yes</td>
-          <td>No</td><td>Element</td></tr>
+      <thead><tr><th>Event</th><th>Interface</th><th>Bubbles</th><th>Cancelable</th>
+          <th>Targets</th></tr></thead>
+      <tbody><tr><td><dfn id='event-click'>click</dfn></td><td><code>PointerEvent</code></td><td>Yes</td>
+          <td>No</td><td>Element</td></tr></tbody>
     </table>
     """
     res = one(html, "events")
     assert res == [
         {
             "type": "click",
-            "src": {"format": "summary table"},
+            "src": {"format": "summary table", "href": f"{URL}#event-click"},
             "href": f"{URL}#event-click",
             "interface": "PointerEvent",
             "bubbles": True,
@@ -320,12 +320,13 @@ def test_events_fire_prose():
     assert ev["type"] == "resize"
     assert ev["src"]["format"] == "fire an event phrasing"
     assert ev["href"] == f"{URL}#algo"
+    assert ev["interface"] == "Event"  # 'fire an event' default
 
 
 def test_events_fire_prose_dedup_vs_table():
     html = """
-    <table><tr><th>Event</th><th>Interface</th></tr>
-    <tr><td id='ev-x'>x</td><td>XEvent</td></tr></table>
+    <table><thead><tr><th>Event</th><th>Interface</th></tr></thead>
+    <tbody><tr><td><dfn id='ev-x'>x</dfn></td><td><code>XEvent</code></td></tr></tbody></table>
     <p id='p1'><a href='https://dom.spec.whatwg.org/#concept-event-fire'>fire
     an event</a> named <code>zoom</code></p>
     """
@@ -341,8 +342,8 @@ def test_events_table_rowheader_th_alignment():
     <table>
       <thead><tr><th>Event</th><th>Interface</th><th>Bubbles</th></tr></thead>
       <tbody>
-        <tr><th id='event-open'>open</th><td>Event</td><td>No</td></tr>
-        <tr><td id='event-close'>close</td><td>CloseEvent</td><td>Yes</td></tr>
+        <tr><th><dfn id='event-open'>open</dfn></th><td><code>Event</code></td><td>No</td></tr>
+        <tr><td><dfn id='event-close'>close</dfn></td><td><code>CloseEvent</code></td><td>Yes</td></tr>
       </tbody>
     </table>
     """
