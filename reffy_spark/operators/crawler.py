@@ -303,13 +303,13 @@ class CrawlEngine:
                 ).withColumn("seed_idx", F.lit(None).cast("int"))
                 next_depth = F.lit(rnd)  # BFS depth == first reachable round
                 cand = FR.to_frontier(candidates, depth_col=next_depth, round_no=rnd)
-                # materialize the candidate set once: it feeds both halves
-                # of the bloom-split anti-join (and the metrics count) —
-                # without this the whole discovery plan (explode links →
-                # canonicalize → dedup → robots) re-executes per consumer
-                cand = self._materialize(
-                    FR.apply_robots(cand, self.robots), "candidates", rnd
-                )
+                cand = FR.apply_robots(cand, self.robots)
+                # materialize the candidate set only when it has several
+                # consumers (both halves of the bloom-split anti-join, the
+                # metrics count) — in the plain anti-join path without
+                # metrics it streams straight through filter_unseen
+                if self.use_bloom or self.collect_metrics:
+                    cand = self._materialize(cand, "candidates", rnd)
 
                 bloom = FR.build_bloom(seen) if self.use_bloom else None
                 # new_urls feeds BOTH the frontier merge and the seen-set

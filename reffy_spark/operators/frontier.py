@@ -295,15 +295,27 @@ def politeness_rank(
         F.col("depth").asc(),
         F.col("url_canon").asc(),
     ]
-    salted = with_budget.join(group_budgets, on="host_group").withColumn(
-        "_salt", F.pmod(F.xxhash64("url_canon"), F.lit(prune_salts))
-    )
-    w_local = Window.partitionBy("host_group", "_salt").orderBy(*order)
-    pruned = (
-        salted.withColumn("_lr", F.row_number().over(w_local))
-        .filter(F.col("_lr") <= F.col("_gb"))
-        .drop("_lr", "_salt")
-    )
+    # The salted pre-prune only pays when budgets actually prune: with
+    # unbounded budgets (seed-list replay, round_ms >> crawl delays) it
+    # would just add a full extra shuffle+sort. The budget table derives
+    # from the (small) robots config, so the cheapest-budget check is a
+    # tiny driver-side aggregate, not a scan of the frontier.
+    min_budget = default_budget
+    row = budgets.agg(F.min("budget")).first()
+    if row is not None and row[0] is not None:
+        min_budget = min(min_budget, row[0])
+    if min_budget < 100_000:
+        salted = with_budget.join(group_budgets, on="host_group").withColumn(
+            "_salt", F.pmod(F.xxhash64("url_canon"), F.lit(prune_salts))
+        )
+        w_local = Window.partitionBy("host_group", "_salt").orderBy(*order)
+        pruned = (
+            salted.withColumn("_lr", F.row_number().over(w_local))
+            .filter(F.col("_lr") <= F.col("_gb"))
+            .drop("_lr", "_salt")
+        )
+    else:
+        pruned = with_budget.join(group_budgets, on="host_group")
     w_final = Window.partitionBy("host_group").orderBy(*order)
     return (
         pruned.withColumn("host_fetch_rank", F.row_number().over(w_final))
