@@ -56,12 +56,25 @@ class ExtractContext:
         # single page unless the fixture merged multipage sections
         self.single_page = root.query("[data-reffy-page]") is None
         self._id_to_heading: dict | None = None
+        self._id_index: dict | None = None
 
     @property
     def id_to_heading(self) -> dict:
         if self._id_to_heading is None:
             self._id_to_heading = _m.map_ids_to_headings(self)
         return self._id_to_heading
+
+    @property
+    def id_index(self) -> dict:
+        """id → element map (getElementById), built once per page."""
+        if self._id_index is None:
+            index: dict = {}
+            for el in self.root.iter():
+                eid = el.id
+                if eid and eid not in index:
+                    index[eid] = el
+            self._id_index = index
+        return self._id_index
 
 
 def extract_page(html: str | bytes, url: str, modules: list[str] | None = None) -> dict:

@@ -885,6 +885,9 @@ def _is_same_event(e1: dict, e2: dict) -> bool:
 def _el_by_id(ctx, frag: str):
     if not frag:
         return None
+    index = getattr(ctx, "id_index", None)
+    if index is not None:
+        return index.get(frag)
     return next((e for e in ctx.root.iter() if e.id == frag), None)
 
 
