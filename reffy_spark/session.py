@@ -80,6 +80,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The CPU-saturated Arrow extraction stage (plus occasional host
+        # throttling in this sandbox) can starve the executor heartbeat
+        # thread; with the defaults (10s interval, maxFailures=60) the
+        # executor logs "Exit as unable to send heartbeats to driver more
+        # than 60 times" and SELF-TERMINATES its task pool — even in
+        # local mode — failing everything after it. There are no real
+        # node failures to detect here, so relax liveness deadlines.
+        .config("spark.executor.heartbeatInterval", "60s")
+        .config("spark.executor.heartbeat.maxFailures", "10000")
+        .config("spark.network.timeout", "1200s")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
