@@ -1754,9 +1754,10 @@ def _typed_dfn_extractor(el: Element, ctx) -> list[dict]:
 
 def extract_css(ctx) -> dict:
     """extract-cssdfn.mjs core: propdef/descdef tables, typed dfns,
-    descriptor→at-rule attachment, dup strategies, warnings.
-    TODO(parity): production-rule parsing (pre.prod), legacy-alias
-    properties, parents index / deepest-construct scoping (A8)."""
+    descriptor→at-rule attachment, dup strategies, warnings, plus
+    production-rule parsing (pre.prod, via _extract_production_rules /
+    functions/css_grammar.py) and the parents index / deepest-construct
+    scoping (A8) implemented further down in this function."""
     warnings: list[dict] = []
     root = ctx.root
 

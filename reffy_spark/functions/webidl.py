@@ -45,8 +45,13 @@ PRIMITIVES = frozenset(
 )
 
 
-def tokenize(idl: str) -> list[str]:
-    out = []
+def tokenize_spans(idl: str) -> tuple[list[str], list[tuple[int, int]]]:
+    """Tokens plus their (start, end) character spans in ``idl`` — spans
+    let the parser slice each construct's source fragment (the reference
+    records per-construct ``fragment`` text in the idlparsed report,
+    src/postprocessing/idlparsed.js, consumed by idlnames.js)."""
+    out: list[str] = []
+    spans: list[tuple[int, int]] = []
     pos = 0
     while pos < len(idl):
         m = _TOKEN_RE.match(idl, pos)
@@ -56,13 +61,31 @@ def tokenize(idl: str) -> list[str]:
         pos = m.end()
         if m.lastgroup != "ws":
             out.append(m.group())
-    return out
+            spans.append((m.start(), m.end()))
+    return out, spans
+
+
+def tokenize(idl: str) -> list[str]:
+    return tokenize_spans(idl)[0]
 
 
 class _Parser:
-    def __init__(self, tokens: list[str]):
+    def __init__(self, tokens: list[str], spans: list[tuple[int, int]] | None = None):
         self.toks = tokens
+        self.spans = spans
         self.i = 0
+
+    def cur_start(self) -> int:
+        """Source offset where the current (unconsumed) token begins."""
+        if self.spans is None or self.i >= len(self.spans):
+            return -1
+        return self.spans[self.i][0]
+
+    def prev_end(self) -> int:
+        """Source offset just past the last consumed token."""
+        if self.spans is None or self.i == 0:
+            return -1
+        return self.spans[min(self.i, len(self.spans)) - 1][1]
 
     def peek(self, k: int = 0) -> str | None:
         j = self.i + k
@@ -238,8 +261,10 @@ def parse_idl(idl: str) -> dict:
     if has_obsolete:
         report["hasObsoleteIdl"] = True
 
-    p = _Parser(tokenize(idl))
+    toks, spans = tokenize_spans(idl)
+    p = _Parser(toks, spans)
     all_deps: dict[str, set] = {}
+    last_recorded: list[dict] = []
 
     def record_construct(name, construct, partial, deps):
         if partial:
@@ -247,8 +272,11 @@ def parse_idl(idl: str) -> dict:
         else:
             report["idlNames"][name] = construct
         all_deps.setdefault(name, set()).update(deps)
+        last_recorded.append(construct)
 
     while p.peek() is not None:
+        frag_start = p.cur_start()
+        last_recorded.clear()
         ext = p.parse_ext_attrs()
         t = p.peek()
         if t is None:
@@ -386,9 +414,15 @@ def parse_idl(idl: str) -> dict:
             inc = {"type": "includes", "target": target, "includes": mixin}
             report["idlExtendedNames"].setdefault(target, []).append(inc)
             all_deps.setdefault(target, set()).add(mixin)
+            last_recorded.append(inc)
         else:
             # unknown token: skip to next semicolon to stay in sync
             p.skip_until(";")
+        # attach the construct's source slice (the reference's per-
+        # construct `fragment`, src/postprocessing/idlparsed.js; idlnames
+        # fragment files are assembled from these)
+        if last_recorded and frag_start >= 0 and p.prev_end() > frag_start:
+            last_recorded[0]["fragment"] = idl[frag_start : p.prev_end()].strip()
 
     for name, deps in all_deps.items():
         deps.discard(name)
@@ -432,7 +466,7 @@ def _parse_members(p: _Parser, deps: set) -> list[dict]:
         return members
     p.expect("{")
     while p.peek() not in ("}", None):
-        p.parse_ext_attrs()
+        mext = [a["name"] for a in p.parse_ext_attrs()]
         special = []
         while p.peek() in ("static", "stringifier", "readonly", "inherit", "async"):
             special.append(p.next())
@@ -507,6 +541,7 @@ def _parse_members(p: _Parser, deps: set) -> list[dict]:
                         "arguments": args,
                         "special": special,
                         "static": "static" in special,
+                        "extAttrs": mext,
                     }
                 )
             else:

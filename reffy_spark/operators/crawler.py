@@ -145,6 +145,11 @@ class CrawlEngine:
         else:
             self.reliable_state = bool(reliable_state)
         self._state_dir: str | None = None
+        # Derive the robots table's max crawl delay ONCE (tiny config
+        # aggregate) so politeness_rank never runs a per-round driver
+        # action to decide its prune-vs-two-phase-rank gate.
+        row = robots.agg(F.max("crawl_delay_ms")).first()
+        self._max_crawl_delay_ms = row[0] if row is not None else None
 
     def _ensure_state_dir(self) -> str:
         if self._state_dir is None:
@@ -222,7 +227,14 @@ class CrawlEngine:
             # materialize the round's batch once: it feeds the fetch join,
             # the frontier anti-join, and the metrics (3 consumers)
             batch = self._materialize(
-                FR.politeness_rank(frontier, self.robots, self.round_ms), "batch", rnd
+                FR.politeness_rank(
+                    frontier,
+                    self.robots,
+                    self.round_ms,
+                    max_crawl_delay_ms=self._max_crawl_delay_ms,
+                ),
+                "batch",
+                rnd,
             )
 
             # ---- fetch: join batch to pages on url_canon ----------------

@@ -257,12 +257,83 @@ def host_budgets(robots: DataFrame, round_ms: int, default_delay_ms: int = 100) 
     )
 
 
+def _exact_group_rank(
+    df: DataFrame,
+    order: list,
+    rank_col: str = "host_fetch_rank",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Exact per-``host_group`` ``row_number`` with NO single-task sort of
+    a whole group — the two-phase distributed ranking classic:
+
+    1. Range-repartition on (host_group, *order): every partition holds a
+       contiguous slice of the global order, so one hot group spreads
+       over many partitions while slices stay rank-composable.
+    2. Rank locally inside each (partition, group) slice; the global rank
+       is the local rank plus the running count of the group's rows in
+       earlier partitions — a tiny (groups × partitions)-row offset
+       table, broadcast.
+
+    The result is bit-identical to
+    ``row_number().over(Window.partitionBy("host_group").orderBy(*order))``
+    (ties are impossible: ``url_canon`` terminates the order key and the
+    frontier is unique per url_canon), but the largest sort any task does
+    is one range-partition's worth of rows, never a whole hot group.
+    """
+    spark = df.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # Rank over ONLY the order-key columns. This is load-bearing twice:
+    # (1) correctness — the offsets branch and the rank branch below must
+    # see the SAME partition boundaries, which Spark guarantees via
+    # ReuseExchange only when the two range-exchange subtrees are
+    # byte-identical after optimization; with exactly the 4 range-key
+    # columns there is nothing for column pruning to remove under either
+    # branch, so the exchange is provably reused (a full-width frame gets
+    # pruned differently per branch, the sampler re-runs with a different
+    # row order, and the two branches disagree on boundaries — observed
+    # as off-by-N ranks). (2) scale — the double shuffle (range + window
+    # hash) carries 4 slim columns, not the whole frontier payload.
+    key_cols = ["host_group", "priority", "depth", "url_canon"]
+    slim = df.select(*key_cols)
+    ranged = slim.repartitionByRange(num_parts, F.col("host_group"), *order)
+    part = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = part.groupBy("host_group", "_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # running count of earlier partitions' rows per group; the window
+    # input is the tiny counts table (≤ num_parts rows per group), not
+    # the frontier.
+    w_off = (
+        Window.partitionBy("host_group")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "host_group",
+        "_pid",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+    )
+    # local rank: the window hash-partitions on (_pid, host_group) — a
+    # hot group splits into num_parts independent sort tasks.
+    w_local = Window.partitionBy("_pid", "host_group").orderBy(*order)
+    ranked = (
+        part.withColumn("_lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), on=["host_group", "_pid"], how="inner")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("int"))
+    )
+    # join ranks back onto the full payload by the unique row key
+    # (frontier contract: one row per url_canon); the payload side is
+    # already hash-partitioned by url_canon from to_frontier's dedup, so
+    # only the slim rank table re-shuffles here.
+    return df.join(ranked.select("url_canon", rank_col), on="url_canon", how="inner")
+
+
 def politeness_rank(
     pending: DataFrame,
     robots: DataFrame,
     round_ms: int,
     default_delay_ms: int = 100,
     prune_salts: int = 32,
+    max_crawl_delay_ms: int | None = None,
 ) -> DataFrame:
     """Select ≤budget URLs per host_group for this round (W1 + §2.6 top-k).
 
@@ -271,14 +342,25 @@ def politeness_rank(
     assert (SURVEY.md §7.3 invariant 3). Returns rows with
     ``host_fetch_rank`` (1-based position in the host's queue this round).
 
-    Scale shape: a single global window per host_group would sort each
-    hot group's whole frontier slice in ONE task (the skew magnet flagged
-    in round 1). Instead, a salted pre-prune keeps only each (group,
-    salt)'s local top-``budget`` — ``prune_salts``-way parallel, bounded
-    output of salts×budget rows per group — and only that pruned set goes
-    through the final rank window. Any row in the true group top-budget
-    is by definition in its salt slice's top-budget, so the result (and
-    the CORRECTNESS hash) is identical to the direct window.
+    Scale shape — no code path sorts a whole host group in one task:
+
+    * budget-bounded rounds (the production politeness case): a salted
+      pre-prune keeps only each (group, salt)'s local top-``budget`` —
+      ``prune_salts``-way parallel per group — so the final rank window
+      sees at most salts×budget rows per group. Any row in the true group
+      top-budget is by definition in its salt slice's top-budget, so the
+      result (and the CORRECTNESS hash) is identical to a direct window.
+    * unbounded budgets (seed-list replay, round_ms ≫ crawl delays):
+      pruning keeps nothing, so the rank itself must scale —
+      ``_exact_group_rank`` two-phase ranking (range repartition +
+      salt-local row_number + broadcast offset table) replaces the raw
+      per-group window that round 2 fell through to (the flagged
+      100×-scale-killer: one task sorting a hot group's whole slice).
+
+    ``max_crawl_delay_ms``: the robots table's ``max(crawl_delay_ms)``.
+    Pass it when the robots config is loaded (it is one tiny aggregate
+    over a config table) to keep this function action-free; when None it
+    is derived here (one extra Spark job per round).
     """
     budgets = host_budgets(robots, round_ms, default_delay_ms)
     # budget of a host_group = budget of its slowest member host seen so far;
@@ -295,15 +377,17 @@ def politeness_rank(
         F.col("depth").asc(),
         F.col("url_canon").asc(),
     ]
-    # The salted pre-prune only pays when budgets actually prune: with
-    # unbounded budgets (seed-list replay, round_ms >> crawl delays) it
-    # would just add a full extra shuffle+sort. The budget table derives
-    # from the (small) robots config, so the cheapest-budget check is a
-    # tiny driver-side aggregate, not a scan of the frontier.
+    # The salted pre-prune only pays when budgets actually prune. The
+    # cheapest possible budget is floor(round_ms / max_crawl_delay) —
+    # a property of the (small) robots config, not of the frontier.
+    if max_crawl_delay_ms is None:
+        row = robots.agg(F.max("crawl_delay_ms")).first()
+        max_crawl_delay_ms = row[0] if row is not None else None
     min_budget = default_budget
-    row = budgets.agg(F.min("budget")).first()
-    if row is not None and row[0] is not None:
-        min_budget = min(min_budget, row[0])
+    if max_crawl_delay_ms:
+        min_budget = min(
+            min_budget, max(1, round_ms // int(max_crawl_delay_ms))
+        )
     if min_budget < 100_000:
         salted = with_budget.join(group_budgets, on="host_group").withColumn(
             "_salt", F.pmod(F.xxhash64("url_canon"), F.lit(prune_salts))
@@ -314,11 +398,13 @@ def politeness_rank(
             .filter(F.col("_lr") <= F.col("_gb"))
             .drop("_lr", "_salt")
         )
+        w_final = Window.partitionBy("host_group").orderBy(*order)
+        ranked = pruned.withColumn("host_fetch_rank", F.row_number().over(w_final))
     else:
-        pruned = with_budget.join(group_budgets, on="host_group")
-    w_final = Window.partitionBy("host_group").orderBy(*order)
+        ranked = _exact_group_rank(
+            with_budget.join(group_budgets, on="host_group"), order
+        )
     return (
-        pruned.withColumn("host_fetch_rank", F.row_number().over(w_final))
-        .filter(F.col("host_fetch_rank") <= F.col("_gb"))
+        ranked.filter(F.col("host_fetch_rank") <= F.col("_gb"))
         .drop("_gb", "budget")
     )

@@ -397,7 +397,10 @@ def idlnames(idlparsed_df: DataFrame, key: str = "url") -> DataFrame:
         F.col(key),
     ).select("name", F.col(key).alias("spec"))
     agg_def = defined.groupBy("name").agg(
-        F.first("idl_type").alias("idl_type"),
+        # min_by over spec, not F.first: when the same IDL name is defined
+        # in >1 spec with different parsed types, the chosen type must not
+        # depend on partition order (deterministic under repartition)
+        F.min_by("idl_type", F.col("spec")).alias("idl_type"),
         F.sort_array(F.collect_set("spec")).alias("defined_in"),
     )
     agg_ext = extended.groupBy("name").agg(

@@ -127,6 +127,70 @@ def test_politeness_rank_salted_preprune(spark, sf_dir):
     assert "_salt" in plan
 
 
+def _unbounded_politeness_world(spark):
+    from reffy_spark.operators.frontier import to_frontier
+
+    urls = spark.range(0, 3000).selectExpr(
+        "concat('https://h', id % 3, '.test/p', id) AS url",
+        "cast(id % 5 as double) AS p",
+        "cast(id % 4 as int) AS d",
+    )
+    pending = to_frontier(
+        urls, depth_col=F.col("d"), priority_col=F.col("p")
+    ).repartition(17)
+    robots = spark.createDataFrame(
+        [(f"h{k}.test", "/", True, 1) for k in range(3)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    return pending, robots
+
+
+def test_politeness_rank_unbounded_is_two_phase(spark):
+    # seed-list replay mode (budgets never prune): the rank must be the
+    # two-phase range rank — no window partitioned by host_group alone
+    # over the frontier (that is one task sorting a whole hot group)
+    import re
+
+    from reffy_spark.operators import frontier as FR
+
+    pending, robots = _unbounded_politeness_world(spark)
+    out = FR.politeness_rank(
+        pending, robots, round_ms=1_000_000_000, max_crawl_delay_ms=1
+    )
+    plan = plan_of(out)
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+    # the only admissible host_group-led window spec is the offset window
+    # over the tiny (group, pid) counts table — ordered by _pid; a spec
+    # ordered by priority DESC would be the old whole-group sort
+    assert not re.search(r"windowspecdefinition\(host_group#\d+L?, priority#", plan)
+
+
+def test_politeness_rank_unbounded_matches_direct_window(spark):
+    # two-phase rank must be bit-identical to the naive global window
+    from pyspark.sql import Window
+
+    from reffy_spark.operators import frontier as FR
+
+    pending, robots = _unbounded_politeness_world(spark)
+    got = (
+        FR.politeness_rank(
+            pending, robots, round_ms=1_000_000_000, max_crawl_delay_ms=1
+        )
+        .select("url_canon", "host_fetch_rank")
+        .collect()
+    )
+    w = Window.partitionBy("host_group").orderBy(
+        F.col("priority").desc(), F.col("depth").asc(), F.col("url_canon").asc()
+    )
+    want = (
+        pending.withColumn("host_fetch_rank", F.row_number().over(w))
+        .select("url_canon", "host_fetch_rank")
+        .collect()
+    )
+    assert sorted(got) == sorted(want)
+    assert len(got) == 3000
+
+
 def test_bloom_build_is_distributed(spark):
     # the bloom build must fold hashes partition-side (no driver toPandas
     # of raw hashes) and still agree with exact membership
