@@ -1144,3 +1144,228 @@ ORACLE_CSSMERGE_FULL = """
 
 EXT_QUERIES["cssmerge_full"] = q_cssmerge_full
 EXT_ORACLES["cssmerge_full"] = ORACLE_CSSMERGE_FULL
+
+
+# ===========================================================================
+# idlnames fragment assembly (idlnames.js:40-391)
+# ===========================================================================
+
+
+def _idlnames_world(spark, sf_dir):
+    """Arithmetic IDL corpus: doc i defines N{i%40} (inheriting N{k-1}
+    inside each block of 8), every 3rd doc extends the next name with a
+    partial, every 5th doc defines a mixin M{i%7} and includes it into
+    N{(i+2)%40}."""
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    k = F.col("doc_id") % 40
+    inh = F.when(k % 8 != 0, _cat(" : N", _s(k - 1))).otherwise(F.lit(""))
+    def_line = _cat("interface N", _s(k), inh, " { attribute long a", i, "; };")
+    partial_line = F.when(
+        F.col("doc_id") % 3 == 0,
+        _cat(
+            "\npartial interface N",
+            _s((F.col("doc_id") + 1) % 40),
+            " { const short c",
+            i,
+            " = 1; };",
+        ),
+    ).otherwise(F.lit(""))
+    mixin_line = F.when(
+        F.col("doc_id") % 5 == 0,
+        _cat("\ninterface mixin M", _s(F.col("doc_id") % 7), " { };"),
+    ).otherwise(F.lit(""))
+    include_line = F.when(
+        F.col("doc_id") % 5 == 0,
+        _cat(
+            "\nN",
+            _s((F.col("doc_id") + 2) % 40),
+            " includes M",
+            _s(F.col("doc_id") % 7),
+            ";",
+        ),
+    ).otherwise(F.lit(""))
+    url = _cat("https://idl.test/d", i, "/")
+    idl = F.concat(def_line, partial_line, mixin_line, include_line)
+    extracts = d.select("doc_id", url.alias("url"), idl.alias("idl"))
+    titles = d.select(url.alias("url"), _cat("T", i).alias("title"))
+    return extracts, titles
+
+
+def q_idlnames_fragments(spark, sf_dir):
+    extracts, titles = _idlnames_world(spark, sf_dir)
+    out = PP.idlnames_fragments(PP.idlparsed(extracts), titles)
+    return out.select(
+        "name",
+        "idl_type",
+        "defined_spec",
+        "fragment",
+        F.array_join("extended_specs", ",").alias("exts_csv"),
+        F.array_join("deps", ",").alias("deps_csv"),
+    )
+
+
+ORACLE_IDLNAMES_FRAGMENTS = """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id,
+             doc_id % 40 AS k,
+             'https://idl.test/d' || doc_id || '/' AS url,
+             'T' || doc_id AS title
+      FROM documents
+    ),
+    -- per-doc source lines (also the per-construct fragments)
+    def_rows AS (
+      SELECT 'N' || k AS name, url, title,
+             'interface N' || k ||
+               CASE WHEN k % 8 <> 0 THEN ' : N' || (k - 1) ELSE '' END ||
+               ' { attribute long a' || doc_id || '; };' AS fragment
+      FROM docs
+    ),
+    mixin_rows AS (
+      SELECT 'M' || (doc_id % 7) AS name, url, title,
+             'interface mixin M' || (doc_id % 7) || ' { };' AS fragment
+      FROM docs WHERE doc_id % 5 = 0
+    ),
+    ext_rows AS (
+      SELECT 'N' || ((doc_id + 1) % 40) AS name, url, title,
+             'partial interface N' || ((doc_id + 1) % 40) ||
+               ' { const short c' || doc_id || ' = 1; };' AS fragment
+      FROM docs WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'N' || ((doc_id + 2) % 40), url, title,
+             'N' || ((doc_id + 2) % 40) || ' includes M' || (doc_id % 7) || ';'
+      FROM docs WHERE doc_id % 5 = 0
+    ),
+    all_defs AS (
+      SELECT * FROM def_rows UNION ALL SELECT * FROM mixin_rows
+    ),
+    main AS (
+      SELECT name,
+             MIN(url) AS defined_spec,
+             ARG_MIN(title, url) AS title,
+             ARG_MIN(fragment, url) AS fragment
+      FROM all_defs GROUP BY name
+    ),
+    exts AS (
+      SELECT name,
+             string_agg('// Source: ' || title || ' (' || url || ')' ||
+                        chr(10) || fragment, chr(10) || chr(10) ORDER BY url)
+               AS ext_frag,
+             string_agg(url, ',' ORDER BY url) AS exts_csv
+      FROM ext_rows GROUP BY name
+    ),
+    names_idx AS (SELECT DISTINCT name FROM all_defs
+                  UNION SELECT DISTINCT name FROM ext_rows),
+    edges AS (
+      SELECT DISTINCT 'N' || k AS name, 'N' || (k - 1) AS dep
+      FROM docs WHERE k % 8 <> 0
+        AND ('N' || (k - 1)) IN (SELECT name FROM names_idx)
+      UNION
+      SELECT DISTINCT 'N' || ((doc_id + 2) % 40), 'M' || (doc_id % 7)
+      FROM docs WHERE doc_id % 5 = 0
+        AND ('M' || (doc_id % 7)) IN (SELECT name FROM names_idx)
+    ),
+    closure AS (
+      SELECT name, dep FROM edges
+      UNION
+      SELECT c.name, e.dep FROM closure c JOIN edges e ON c.dep = e.name
+    ),
+    deps AS (
+      SELECT name, array_to_string(list_sort(list(DISTINCT dep)), ',') AS deps_csv
+      FROM closure WHERE name <> dep GROUP BY name
+    )
+    SELECT m.name,
+           CASE WHEN m.name LIKE 'M%' THEN 'interface mixin'
+                ELSE 'interface' END AS idl_type,
+           m.defined_spec,
+           '// Source: ' || m.title || ' (' || m.defined_spec || ')' ||
+             chr(10) || m.fragment ||
+             COALESCE(chr(10) || chr(10) || e.ext_frag, '') AS fragment,
+           COALESCE(e.exts_csv, '') AS exts_csv,
+           COALESCE(d.deps_csv, '') AS deps_csv
+    FROM main m
+    LEFT JOIN exts e ON m.name = e.name
+    LEFT JOIN deps d ON m.name = d.name
+"""
+
+
+# ===========================================================================
+# check-missing-dfns: expected dfns + matchIdlDfn report
+# ===========================================================================
+
+
+def q_missing_dfns(spark, sf_dir):
+    """Expected-dfn extraction + matchIdlDfn join: doc i defines
+    I{i} { attribute a{i}; undefined f{i}(x); }; the dfns table carries
+    the attribute dfn only for even docs and the method dfn only for
+    docs divisible by 3 — rows with null href are the missing-dfns
+    report (check-missing-dfns.js:398-460)."""
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://md.test/d", i, "/")
+    idl = _cat(
+        "interface I", i, " { attribute long a", i,
+        "; undefined f", i, "(long x); };",
+    )
+    parsed = PP.idlparsed(d.select("doc_id", url.alias("url"), idl.alias("idl")))
+    expected = PP.expected_dfns_from_idl(parsed)
+    root_dfns = d.select(
+        url.alias("url"),
+        F.lit("interface").alias("type"),
+        F.array().cast("array<string>").alias("for"),
+        F.array(_cat("I", i)).alias("linkingText"),
+        _cat(url, "#i").alias("href"),
+        F.lit(0).alias("dfn_idx"),
+    )
+    attr_dfns = d.filter(F.col("doc_id") % 2 == 0).select(
+        url.alias("url"),
+        F.lit("attribute").alias("type"),
+        F.array(_cat("I", i)).alias("for"),
+        F.array(_cat("a", i)).alias("linkingText"),
+        _cat(url, "#a").alias("href"),
+        F.lit(1).alias("dfn_idx"),
+    )
+    method_dfns = d.filter(F.col("doc_id") % 3 == 0).select(
+        url.alias("url"),
+        F.lit("method").alias("type"),
+        F.array(_cat("I", i)).alias("for"),
+        F.array(_cat("f", i, "(x)")).alias("linkingText"),
+        _cat(url, "#f").alias("href"),
+        F.lit(2).alias("dfn_idx"),
+    )
+    dfns = root_dfns.unionByName(attr_dfns).unionByName(method_dfns)
+    out = PP.match_idl_dfns(expected, dfns)
+    return out.select(
+        "spec",
+        "root",
+        "member",
+        "dfn_type",
+        F.array_join("linking", "|").alias("linking_csv"),
+        F.coalesce("href", F.lit("MISSING")).alias("href"),
+    )
+
+
+ORACLE_MISSING_DFNS = """
+    WITH base AS (
+      SELECT doc_id, 'https://md.test/d' || doc_id || '/' AS url
+      FROM documents
+    )
+    SELECT url AS spec, 'I' || doc_id AS root, CAST(NULL AS VARCHAR) AS member,
+           'interface' AS dfn_type, 'I' || doc_id AS linking_csv,
+           url || '#i' AS href
+    FROM base
+    UNION ALL
+    SELECT url, 'I' || doc_id, 'a' || doc_id, 'attribute', 'a' || doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN url || '#a' ELSE 'MISSING' END
+    FROM base
+    UNION ALL
+    SELECT url, 'I' || doc_id, 'f' || doc_id, 'method', 'f' || doc_id || '(x)',
+           CASE WHEN doc_id % 3 = 0 THEN url || '#f' ELSE 'MISSING' END
+    FROM base
+"""
+
+
+EXT_QUERIES["idlnames_fragments"] = q_idlnames_fragments
+EXT_ORACLES["idlnames_fragments"] = ORACLE_IDLNAMES_FRAGMENTS
+EXT_QUERIES["missing_dfns"] = q_missing_dfns
+EXT_ORACLES["missing_dfns"] = ORACLE_MISSING_DFNS

@@ -896,3 +896,424 @@ def idl_dfn_hrefs(
         .drop("_bk", "_bc", "_bm", "_bt", "_bo")
         .withColumnRenamed("raw_member_type", "member_type")
     )
+
+
+# --------------------------------------------------------------------------
+# idlnames fragment assembly + expected-dfn matching
+# (src/postprocessing/idlnames.js:40-391, src/cli/check-missing-dfns.js)
+# --------------------------------------------------------------------------
+
+_IDLNAMES_FRAG_SCHEMA = (
+    "map<string, struct<type:string, name:string, inheritance:string, "
+    "fragment:string, partial:boolean, values:array<string>, "
+    "members:array<struct<type:string, name:string, value:string, "
+    "special:array<string>, extAttrs:array<string>, "
+    "arguments:array<struct<name:string, variadic:boolean>>>>>>"
+)
+_IDLEXT_FRAG_SCHEMA = (
+    "array<struct<type:string, name:string, target:string, includes:string, "
+    "fragment:string, "
+    "members:array<struct<type:string, name:string, value:string, "
+    "special:array<string>, extAttrs:array<string>, "
+    "arguments:array<struct<name:string, variadic:boolean>>>>>>"
+)
+
+
+def _idl_defined(idlparsed_df: DataFrame, key: str) -> DataFrame:
+    """One row per (spec, name) from idlNames: type, inheritance, fragment."""
+    return idlparsed_df.select(
+        F.col(key).alias("spec"),
+        F.explode(
+            F.from_json(
+                F.get_json_object("idlparsed", "$.idlNames"), _IDLNAMES_FRAG_SCHEMA
+            )
+        ).alias("name", "c"),
+    ).select(
+        "spec",
+        "name",
+        F.col("c.type").alias("idl_type"),
+        F.col("c.inheritance").alias("inheritance"),
+        F.coalesce(F.col("c.fragment"), F.lit("")).alias("fragment"),
+    )
+
+
+def _idl_extended(idlparsed_df: DataFrame, key: str) -> DataFrame:
+    """One row per (spec, name, ext_idx) from idlExtendedNames: fragment +
+    optional includes mixin (ext order preserved — the reference appends
+    extensions in report order, idlnames.js:232-246)."""
+    return (
+        idlparsed_df.select(
+            F.col(key).alias("spec"),
+            F.explode(
+                F.from_json(
+                    F.get_json_object("idlparsed", "$.idlExtendedNames"),
+                    f"map<string, {_IDLEXT_FRAG_SCHEMA}>",
+                )
+            ).alias("name", "exts"),
+        )
+        .select("spec", "name", F.posexplode("exts").alias("ext_idx", "e"))
+        .select(
+            "spec",
+            "name",
+            "ext_idx",
+            F.coalesce(F.col("e.fragment"), F.lit("")).alias("fragment"),
+            F.when(F.col("e.type") == "includes", F.col("e.includes")).alias(
+                "includes"
+            ),
+        )
+    )
+
+
+def idlnames_fragments(
+    idlparsed_df: DataFrame,
+    titles: DataFrame | None = None,
+    key: str = "url",
+    closure_rounds: int = 4,
+) -> DataFrame:
+    """Per-IDL-name fragment assembly with dependency closure — the
+    crawl-level idlnames post-processor (idlnames.js:176-260 builds the
+    name index; saveIdlNamesFragments:107-136 serializes the per-name
+    ``.idl`` files; addDfns:330-356 walks inheritance+includes).
+
+    Returns one row per IDL name:
+
+    * ``name`` / ``idl_type``
+    * ``defined_spec`` — the defining spec (first in report order wins
+      when a name is multiply defined, idlnames.js:209-216; "report
+      order" here is spec-url order, the deterministic analog)
+    * ``fragment`` — the content of the reference's ``idlnames/{name}.idl``
+      file: ``// Source: {title} ({url})\\n{fragment}`` for the defining
+      spec followed by each extension, joined with blank lines
+      (idlnames.js:118-136)
+    * ``extended_specs`` — specs extending the name, in order
+    * ``deps`` — sorted transitive inheritance+includes dependency names
+      (the closure addDfns walks; cycles are cut by the bounded doubling
+      closure, 2^``closure_rounds`` hops, mirroring the reference's cycle
+      break at idlnames.js:262-276)
+
+    ``titles``: optional (url, title) table; spec title falls back to the
+    url when absent (the reference always has a title from the crawl).
+    Callers wanting reference parity on spec series should pre-filter
+    ``idlparsed_df`` to latest-level + delta specs (series_latest, J13).
+
+    Scale shape: everything is exploded long tables groupBy'd on ``name``
+    (partial aggregation); the closure is log-many self-equi-joins on the
+    (name, dep) edge table, which is tiny relative to the page corpus.
+    """
+    defined = _idl_defined(idlparsed_df, key)
+    extended = _idl_extended(idlparsed_df, key)
+    if titles is not None:
+        t = titles.select(
+            F.col(key).alias("spec"), F.col("title").alias("_title")
+        )
+        defined = defined.join(t, on="spec", how="left")
+        extended = extended.join(t, on="spec", how="left")
+    else:
+        defined = defined.withColumn("_title", F.lit(None).cast("string"))
+        extended = extended.withColumn("_title", F.lit(None).cast("string"))
+    header = lambda: F.concat(  # noqa: E731
+        F.lit("// Source: "),
+        F.coalesce(F.col("_title"), F.col("spec")),
+        F.lit(" ("),
+        F.col("spec"),
+        F.lit(")\n"),
+        F.col("fragment"),
+    )
+    # first definition wins (min spec url); the rest are ignored with a
+    # warning in the reference (idlnames.js:209-216)
+    main = defined.groupBy("name").agg(
+        F.min_by(
+            F.struct("idl_type", "inheritance", F.col("spec"), header().alias("t")),
+            F.col("spec"),
+        ).alias("_d")
+    )
+    exts = extended.groupBy("name").agg(
+        F.array_sort(
+            F.collect_list(F.struct("spec", "ext_idx", header().alias("t")))
+        ).alias("_e")
+    )
+    base = main.join(exts, on="name", how="full").select(
+        "name",
+        F.col("_d.idl_type").alias("idl_type"),
+        F.col("_d.spec").alias("defined_spec"),
+        F.col("_d.inheritance").alias("inheritance"),
+        F.array_join(
+            F.concat(
+                F.when(F.col("_d").isNotNull(), F.array(F.col("_d.t"))).otherwise(
+                    F.array().cast("array<string>")
+                ),
+                F.transform(
+                    F.coalesce(
+                        F.col("_e"),
+                        F.array().cast(
+                            "array<struct<spec:string,ext_idx:int,t:string>>"
+                        ),
+                    ),
+                    lambda s: s["t"],
+                ),
+            ),
+            "\n\n",
+        ).alias("fragment"),
+        F.transform(
+            F.coalesce(
+                F.col("_e"),
+                F.array().cast("array<struct<spec:string,ext_idx:int,t:string>>"),
+            ),
+            lambda s: s["spec"],
+        ).alias("extended_specs"),
+    )
+    # dependency edges: inheritance (from the WINNING definition only —
+    # the reference drops ignored duplicate definitions entirely,
+    # idlnames.js:209-216) + includes targets from every extension
+    inh_edges = main.filter(F.col("_d.inheritance").isNotNull()).select(
+        "name", F.col("_d.inheritance").alias("dep")
+    )
+    inc_edges = extended.filter(F.col("includes").isNotNull()).select(
+        "name", F.col("includes").alias("dep")
+    )
+    # deps resolve only against the names index (idlnames.js:262-268
+    # filters includes/inheritance to existing entries); external
+    # dependencies are dropped
+    index_names = (
+        defined.select("name").unionByName(extended.select("name")).distinct()
+    )
+    closure = (
+        inh_edges.unionByName(inc_edges)
+        .join(index_names.withColumnRenamed("name", "dep"), on="dep", how="semi")
+        .distinct()
+    )
+    # doubling transitive closure: after k rounds, paths up to 2^k hops
+    for _ in range(closure_rounds):
+        hop = closure.alias("a").join(
+            closure.alias("b"), F.col("a.dep") == F.col("b.name")
+        ).select(F.col("a.name").alias("name"), F.col("b.dep").alias("dep"))
+        closure = closure.unionByName(hop).distinct()
+    closure = closure.filter(F.col("name") != F.col("dep"))  # cycle self-edges
+    deps = closure.groupBy("name").agg(
+        F.sort_array(F.collect_set("dep")).alias("deps")
+    )
+    return base.join(deps, on="name", how="left").withColumn(
+        "deps", F.coalesce(F.col("deps"), F.array().cast("array<string>"))
+    ).drop("inheritance")
+
+
+def expected_dfns_from_idl(idlparsed_df: DataFrame, key: str = "url") -> DataFrame:
+    """Expected-definition long table from parsed IDL — the
+    getExpectedDfnsFromIdl / getExpectedDfnFromIdlDesc kernels
+    (src/cli/check-missing-dfns.js:96-258): one row per IDL construct or
+    member that a spec is expected to define a dfn for, with the
+    candidate linking texts, dfn type, and scoping ``for``.
+
+    Root rows come only from idlNames (extensions are processed with
+    excludeRoot, check-missing-dfns.js:109-115); member rows come from
+    both. Skipped per the reference: partial roots, includes, iterables /
+    maplike / setlike, unnamed getter/setter/deleter, default toJSON
+    operations, HTML element constructors.
+    """
+    named = idlparsed_df.select(
+        F.col(key).alias("spec"),
+        F.explode(
+            F.from_json(
+                F.get_json_object("idlparsed", "$.idlNames"), _IDLNAMES_FRAG_SCHEMA
+            )
+        ).alias("name", "c"),
+    )
+    ext = (
+        idlparsed_df.select(
+            F.col(key).alias("spec"),
+            F.explode(
+                F.from_json(
+                    F.get_json_object("idlparsed", "$.idlExtendedNames"),
+                    f"map<string, {_IDLEXT_FRAG_SCHEMA}>",
+                )
+            ).alias("name", "exts"),
+        )
+        .select("spec", "name", F.explode("exts").alias("c"))
+        .filter(F.col("c.type") != "includes")
+    )
+
+    container_types = (
+        "callback", "callback interface", "dictionary", "interface",
+        "interface mixin", "namespace",
+    )
+
+    def root_rows(src):
+        mapped = (
+            F.when(F.col("c.type") == "callback interface", F.lit("callback"))
+            .when(F.col("c.type") == "interface mixin", F.lit("interface"))
+            .otherwise(F.col("c.type"))
+        )
+        return (
+            src.filter(
+                F.col("c.type").isin(
+                    *container_types, "enum", "typedef", "callback"
+                )
+            )
+            .filter(~F.coalesce(F.col("c.partial"), F.lit(False)))
+            .select(
+                "spec",
+                F.col("name").alias("root"),
+                F.lit(None).cast("string").alias("member"),
+                F.array(F.col("name")).alias("linking"),
+                mapped.alias("dfn_type"),
+                F.array().cast("array<string>").alias("dfn_for"),
+            )
+        )
+
+    def enum_value_rows(src):
+        return (
+            src.filter(F.col("c.type") == "enum")
+            .select("spec", "name", F.explode("c.values").alias("v"))
+            .select(
+                "spec",
+                F.col("name").alias("root"),
+                F.col("v").alias("member"),
+                F.when(
+                    F.col("v") == "",
+                    F.array(F.concat(F.lit('"'), F.col("v"), F.lit('"'))),
+                )
+                .otherwise(
+                    F.array(
+                        F.concat(F.lit('"'), F.col("v"), F.lit('"')), F.col("v")
+                    )
+                )
+                .alias("linking"),
+                F.lit("enum-value").alias("dfn_type"),
+                F.array(F.col("name")).alias("dfn_for"),
+            )
+        )
+
+    def member_rows(src):
+        m = (
+            src.filter(F.col("c.type").isin(*container_types))
+            .select("spec", "name", F.explode("c.members").alias("m"))
+        )
+        special = F.coalesce(F.col("m.special"), F.array().cast("array<string>"))
+        eattrs = F.coalesce(F.col("m.extAttrs"), F.array().cast("array<string>"))
+        args = F.coalesce(
+            F.col("m.arguments"),
+            F.array().cast("array<struct<name:string,variadic:boolean>>"),
+        )
+        ser_args = F.array_join(
+            F.transform(
+                args,
+                lambda a: F.concat(
+                    F.when(a["variadic"], F.lit("...")).otherwise(F.lit("")),
+                    a["name"],
+                ),
+            ),
+            ", ",
+        )
+        is_stringifier = F.array_contains(special, "stringifier")
+        is_special_unnamed = F.col("m.name").isNull() & F.arrays_overlap(
+            special, F.array(F.lit("getter"), F.lit("setter"), F.lit("deleter"))
+        )
+        is_default_tojson = (
+            (F.col("m.name") == "toJSON") & F.array_contains(eattrs, "Default")
+        )
+        is_html_ctor = (F.col("m.type") == "constructor") & F.col("name").startswith(
+            "HTML"
+        )
+        keep = (
+            F.col("m.type").isin("attribute", "const", "field", "constructor", "operation")
+            & ~is_html_ctor
+            & F.when(
+                F.col("m.type") == "operation",
+                is_stringifier
+                | (~is_special_unnamed & ~is_default_tojson & F.col("m.name").isNotNull())
+                # unnamed non-special operations (bare stringifier handled
+                # above) are skipped like the reference's null-name guard
+                ,
+            ).otherwise(F.lit(True))
+        )
+        linking = (
+            F.when(
+                (F.col("m.type") == "operation") & is_stringifier,
+                F.array(
+                    F.lit("stringification behavior"),
+                    F.lit("stringificationbehavior"),
+                ),
+            )
+            .when(
+                F.col("m.type") == "operation",
+                F.array(
+                    F.concat(F.col("m.name"), F.lit("("), ser_args, F.lit(")"))
+                ),
+            )
+            .when(
+                F.col("m.type") == "constructor",
+                F.array(F.concat(F.lit("constructor("), ser_args, F.lit(")"))),
+            )
+            .otherwise(F.array(F.col("m.name")))
+        )
+        dfn_type = (
+            F.when((F.col("m.type") == "operation") & is_stringifier, F.lit("dfn"))
+            .when(F.col("m.type") == "operation", F.lit("method"))
+            .when(F.col("m.type") == "field", F.lit("dict-member"))
+            .otherwise(F.col("m.type"))
+        )
+        return m.filter(keep).select(
+            "spec",
+            F.col("name").alias("root"),
+            F.coalesce(F.col("m.name"), F.lit("")).alias("member"),
+            linking.alias("linking"),
+            dfn_type.alias("dfn_type"),
+            F.array(F.col("name")).alias("dfn_for"),
+        )
+
+    # roots + enum values come only from idlNames (extensions use
+    # excludeRoot); member rows come from both. The two sources carry
+    # different construct struct shapes, so union the flat RESULTS.
+    return (
+        root_rows(named)
+        .unionByName(enum_value_rows(named))
+        .unionByName(member_rows(named))
+        .unionByName(member_rows(ext))
+    )
+
+
+def match_idl_dfns(
+    expected: DataFrame, dfns: DataFrame, key: str = "url"
+) -> DataFrame:
+    """matchIdlDfn as a relational join (check-missing-dfns.js:331-348):
+    a dfn matches when its linking texts — after stripping ``!overload-N``
+    tags and fixing the Respec ``(, `` artifact — intersect the expected
+    candidates, the expected ``for`` values are all present in the dfn's
+    ``for``, and the types are equal. First matching dfn in document
+    order wins (``dfns.find``); pass a ``dfn_idx`` column on ``dfns`` for
+    that order (falls back to min href).
+
+    ``dfns``: (url, type, for array, linkingText array, href[, dfn_idx]).
+    Returns ``expected`` + ``href`` (null → missing definition, the
+    check-missing-dfns report row).
+    """
+    has_idx = "dfn_idx" in dfns.columns
+    d = dfns.select(
+        F.col(key).alias("_durl"),
+        F.col("type").alias("_dtype"),
+        F.coalesce(F.col("for"), F.array().cast("array<string>")).alias("_dfor"),
+        F.transform(
+            F.col("linkingText"),
+            lambda lt: F.regexp_replace(
+                F.regexp_replace(lt, r"!overload-\d", ""), r"\(, ", "("
+            ),
+        ).alias("_dlt"),
+        F.col("href").alias("_dhref"),
+        (F.col("dfn_idx") if has_idx else F.lit(0)).alias("_didx"),
+    )
+    joined = expected.join(
+        d,
+        (F.col("spec") == F.col("_durl"))
+        & (F.col("dfn_type") == F.col("_dtype"))
+        & F.arrays_overlap(F.col("linking"), F.col("_dlt"))
+        & F.forall(
+            F.col("dfn_for"), lambda v: F.array_contains(F.col("_dfor"), v)
+        ),
+        "left",
+    )
+    # one output row per expected row (overloads share member names but
+    # differ in `linking`, so linking/dfn_for belong in the group key);
+    # first matching dfn in document order wins, href as the tiebreak
+    return joined.groupBy(
+        "spec", "root", "member", "dfn_type", "linking", "dfn_for"
+    ).agg(F.min_by("_dhref", F.struct("_didx", "_dhref")).alias("href"))
