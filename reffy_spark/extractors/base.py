@@ -50,9 +50,12 @@ CORE_MODULES = list(MODULES)
 class ExtractContext:
     """Per-page extraction context (one DOM parse, shared sub-stages)."""
 
-    def __init__(self, root: Element, url: str):
+    def __init__(self, root: Element, url: str, spec: str | None = None):
         self.root = root
         self.url = url
+        # spec shortname, when known (a few extractors special-case specs
+        # the way the reference passes `spec` into browserlib modules)
+        self.spec = spec
         # single page unless the fixture merged multipage sections
         self.single_page = root.query("[data-reffy-page]") is None
         self._id_to_heading: dict | None = None
@@ -77,10 +80,15 @@ class ExtractContext:
         return self._id_index
 
 
-def extract_page(html: str | bytes, url: str, modules: list[str] | None = None) -> dict:
+def extract_page(
+    html: str | bytes,
+    url: str,
+    modules: list[str] | None = None,
+    spec: str | None = None,
+) -> dict:
     """Run the requested modules over one page; returns {module: value}."""
     modules = modules or CORE_MODULES
-    ctx = ExtractContext(parse_html(html), url)
+    ctx = ExtractContext(parse_html(html), url, spec=spec)
     out = {}
     for name in modules:
         _needs, fn = MODULES[name]

@@ -618,6 +618,31 @@ def _extract_refs_without_rules(ctx) -> dict:
     refs = {"normative": [], "informative": []}
     anchors = ctx.root.query_all("h1, h2, h3")
 
+    # ECMA emu-clause references (Source map / ECMAScript layout,
+    # extract-references.mjs:168-198): refs live in <p> children of
+    # <emu-clause id=sec-[references-]{type}[-references]>
+    for ref_type in ("normative", "informative"):
+        clause = ctx.root.query(
+            f"emu-clause#sec-references-{ref_type},"
+            f"emu-clause#sec-{ref_type}-references"
+        )
+        if clause is None:
+            continue
+        found = []
+        for p in clause.query_all("p"):
+            m = re.search(r"(.+?)(,|\.)", p.text)
+            name = m.group(1).strip() if m else None
+            has_full_title = p.query("i") is not None
+            anchor = p.query("a[href]")
+            if name and (anchor is not None or has_full_title):
+                ref = {"name": name}
+                if anchor is not None:
+                    url = anchor.get("href") or ""
+                    if re.match(r"^https?://", url):
+                        ref["url"] = url
+                found.append(ref)
+        refs[ref_type] = found
+
     def find_last(pattern):
         out = None
         for h in anchors:
@@ -767,31 +792,146 @@ def extract_cddl(ctx) -> list[dict]:
     return res
 
 
-def extract_elements(ctx) -> list[dict]:
-    """extract-elements.mjs (interface mapping subset — the reference
-    itself only extracts element→DOM-interface for now)."""
-    out = []
+def extract_elements(ctx) -> list[dict] | None:
+    """extract-elements.mjs full port: dl.element (HTML pattern),
+    div.element-summary + table.definition-table (SVG patterns), and the
+    dfn[data-dfn-type=element] contract (MathML & friends). Returns None
+    when the spec defines no elements (the reference returns undefined)."""
+
+    def get_text(el: Element) -> str:
+        return re.sub(r"\s+", " ", el.text.strip())
+
+    def next_sib(node: Element, tag: str) -> Element | None:
+        nxt = node.next_element_sibling
+        while nxt is not None and nxt.tag != tag:
+            nxt = nxt.next_element_sibling
+        return nxt
+
+    # --- HTML elements: dl.element -------------------------------------
+    html_elements: list[dict] = []
     for dl in ctx.root.query_all("dl.element"):
         heading = dl.previous_element_sibling
         while heading is not None and heading.tag not in _HEADING_TAGS:
             heading = heading.previous_element_sibling
         if heading is None:
-            continue
+            raise ValueError("Could not locate heading associated with element")
         dfns = heading.query_all("dfn")
         if not dfns:
-            continue
+            # "Custom elements" in HTML / "Common behaviours" in
+            # permission-elements define no element
+            ht = get_text(heading)
+            if re.search(r"Core concepts", ht, re.I) or re.search(
+                r"Common behaviours", ht, re.I
+            ):
+                continue
+            raise ValueError("No dfn found in heading element: " + heading.text)
         for dfn in dfns:
-            rec = {"name": normalize(dfn.text), "href": get_absolute_url(dfn, ctx)}
+            res = {"name": get_text(dfn), "href": get_absolute_url(dfn, ctx)}
             for dt in dl.query_all("dt"):
-                label = normalize(dt.text).rstrip(":")
-                if label == "DOM interface":
-                    dd = next_tag(dt, "dd")
-                    if dd is not None:
-                        code = dd.query("code") or dd.query("a")
-                        if code is not None:
-                            rec["interface"] = normalize(code.text)
-            out.append(rec)
-    return out
+                if get_text(dt).rstrip(":") != "DOM interface":
+                    continue
+                dd = next_sib(dt, "dd")
+                if dd is None:
+                    raise ValueError(
+                        "Could not link element to interface, missing dd for "
+                        + res["name"]
+                    )
+                iface_el = dd.query(
+                    "dfn[data-dfn-type=interface], a[data-link-type=idl]"
+                )
+                if iface_el is not None:
+                    res["interface"] = iface_el.text.strip()
+                else:
+                    # the HTML spec does not flag interface links; match
+                    # the "Use(s) <Interface>" prose instead
+                    m = re.match(r"^Uses? (.*?)[,\.\s]", dd.text)
+                    if m:
+                        res["interface"] = m.group(1)
+                    else:
+                        raise ValueError(
+                            "Could not link element to interface: " + get_text(dd)
+                        )
+            html_elements.append(res)
+    if html_elements:
+        return html_elements
+
+    # --- SVG element-summary pattern ------------------------------------
+    svg_summary: list[dict] = []
+    for el in ctx.root.query_all("div.element-summary"):
+        name = el.query(".element-name")
+        if name is None:
+            raise ValueError("Could not extract name from element-summary element")
+        dfn = el.query("dfn")
+        if dfn is None:
+            # SVG 1.1 has no dfns: parent div id, else nearby heading
+            dfn = el.parent
+            if not dfn.id:
+                dfn = el.previous_element_sibling
+                while dfn is not None and dfn.tag not in _HEADING_TAGS:
+                    dfn = dfn.previous_element_sibling
+                if dfn is None:
+                    raise ValueError(
+                        "Could not locate heading associated with element "
+                        + get_text(name)
+                    )
+        res = {
+            "name": get_text(name).replace("‘", "").replace("’", ""),
+            "href": get_absolute_url(dfn, ctx),
+        }
+        for dt in el.query_all("dt"):
+            if get_text(dt).rstrip(":") != "DOM Interfaces":
+                continue
+            dd = next_sib(dt, "dd")
+            if dd is None:
+                raise ValueError(
+                    "Could not link element to interface, missing dd for "
+                    + res["name"]
+                )
+            # the "discard" element legitimately has no interface
+            if get_text(dd):
+                res["interface"] = get_text(dd)
+        svg_summary.append(res)
+
+    # --- SVG definition-table pattern -----------------------------------
+    svg_table: list[dict] = []
+    for el in ctx.root.query_all("table.definition-table"):
+        dfn = el.query("dfn")
+        if dfn is None:
+            raise ValueError("Could not extract name from definition-table element")
+        res = {"name": get_text(dfn), "href": get_absolute_url(dfn, ctx)}
+        for th in el.query_all("th"):
+            if get_text(th).rstrip(":") != "DOM Interfaces":
+                continue
+            td = next_sib(th, "td")
+            if td is None:
+                raise ValueError(
+                    "Could not link element to interface, missing cell for "
+                    + res["name"]
+                )
+            res["interface"] = get_text(td)
+        svg_table.append(res)
+    if svg_summary or svg_table:
+        return svg_summary + svg_table
+
+    # --- dfn contract (MathML & friends) --------------------------------
+    other: list[dict] = []
+    for el in ctx.root.query_all("dfn[data-dfn-type=element]"):
+        info = {"name": el.text.strip(), "href": get_absolute_url(el, ctx)}
+        if ctx.spec == "mathml-core":
+            # all MathML Core elements use the MathMLElement interface
+            info["interface"] = "MathMLElement"
+        else:
+            ifaces = [
+                d
+                for d in ctx.root.query_all("dfn[data-dfn-type=interface]")
+                if d.text.strip().lower() == f"html{info['name']}element"
+            ]
+            if len(ifaces) == 1:
+                info["interface"] = ifaces[0].text.strip()
+        other.append(info)
+    if other:
+        return other
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -1328,39 +1468,403 @@ def extract_events(ctx) -> list[dict]:
     return out
 
 
-def extract_algorithms(ctx) -> list[dict]:
-    """Simplified extract-algorithms.mjs: elements carrying
-    ``.algorithm`` (or data-algorithm) with their step lists, in document
-    order (W6). Recursive steps serialized as nested dicts (stored as a
-    JSON column — SURVEY.md §7.3 risk 5)."""
+# --- extract-algorithms.mjs faithful port ---------------------------------
 
-    def steps_of(ol: Element) -> list[dict]:
-        steps = []
-        for li in ol.child_elements():
-            if li.tag != "li":
-                continue
-            step: dict = {"html": normalize(clean_text(li, "ol, ul"))}
-            nested = next((c for c in li.child_elements() if c.tag == "ol"), None)
-            if nested is not None:
-                step["steps"] = steps_of(nested)
-            steps.append(step)
-        return steps
+# step-leading verbs + branching keywords (extract-algorithms.mjs:104-266)
+_STEP_OPERATIONS = (
+    "abort acknowledge activate add adopt advance append apply ask assert "
+    "assign attach attempt batch block branch call check cancel cause change "
+    "choose clamp clean clear close collect complete compute consume continue "
+    "convert copy create deactivate decrease decrement decrypt define delete "
+    "dequeue destroy determine discard dismiss dispatch display down-mix do "
+    "dump emit empty end enqueue ensure error establish execute extend "
+    "extract fail fetch finalize find finish fire gather generate give "
+    "handle hand-off increase increment initialize insert interpret invoke "
+    "issue jump let load make mark match move multiply navigate paint parse "
+    "perform place pop populate prepare prepend process prompt push query "
+    "queue recalculate rectify reference register reinitialize reject "
+    "release remove replace reset resolve restore render remap report "
+    "return run score scroll send serialize set shuffle skip sort split "
+    "spin start stop store strip suspend switch take terminate throw trap "
+    "try undisplay unset up-mix update upgrade use validate verify visit "
+    "wait for if while"
+).split()
 
-    out = []
-    for el in sorted(ctx.root.query_all(".algorithm, [data-algorithm]"), key=lambda e: e.pos):
-        if is_informative(el):
+# (value, serialized) pairs: the reference stores the matched item itself
+# as the rationale and later calls toString(), so regex entries serialize
+# in JS regex-literal form (extract-algorithms.mjs:273-296, 556)
+_STEP_INLINE_OPERATIONS = [
+    ("abort all these steps", None),
+    ("abort these steps", None),
+    ("fire a simple event", None),
+    ("fire an event", None),
+    ("in parallel", None),
+    ("reject", None),
+    ("resolve", None),
+    ("run the following steps", None),
+    ("run these steps", None),
+    ("terminate these steps", None),
+    (re.compile(r"queue a( \w+)? task", re.I), "/queue a( \\w+)? task/i"),
+]
+_STEP_ANCHORS = [
+    (re.compile(r"^⌛"), "/^⌛/"),
+    ("in parallel", None),
+    (re.compile(r"^otherwise(\,| )", re.I), "/^otherwise(\\,| )/i"),
+]
+
+_TEXT_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;", "\xa0": "&nbsp;"}
+_ATTR_ESCAPES = {"&": "&amp;", '"': "&quot;", "\xa0": "&nbsp;"}
+
+
+def _escape_text(s: str) -> str:
+    return re.sub(r"[&<>\xa0]", lambda m: _TEXT_ESCAPES[m.group()], s)
+
+
+def _escape_attr(s: str) -> str:
+    return re.sub(r'[&"\xa0]', lambda m: _ATTR_ESCAPES[m.group()], s)
+
+
+def _algo_abs_url(value: str, base: str) -> str:
+    """new URL(value, base) for href/src absolutization; opaque bases
+    (about:blank) only support fragment-only relatives, like the browser."""
+    from urllib.parse import urljoin
+
+    if value.startswith("#"):
+        return base.split("#")[0] + value
+    try:
+        return urljoin(base, value)
+    except ValueError:  # pragma: no cover
+        return value
+
+
+def _serialize_html(el: Element, ctx, drop_ol: bool = False) -> str:
+    """innerHTML of ``el`` after cloneAndClean (informative subtrees and
+    comments dropped; comments never enter our tree), optionally dropping
+    <ol> descendants, with relative href/src made absolute
+    (extract-algorithms.mjs getHTMLContent:311-335)."""
+    page_el = el.closest("[data-reffy-page]")
+    base = page_el.get("data-reffy-page") if page_el is not None else ctx.url
+    out: list[str] = []
+
+    def ser(node):
+        if isinstance(node, str):
+            out.append(_escape_text(node))
+            return
+        if node.matches(INFORMATIVE_SELECTOR):
+            return
+        if drop_ol and node.tag == "ol":
+            return
+        parts = [f"<{node.tag}"]
+        for k, v in node.attrs.items():
+            if k in ("href", "src") and v and not v.startswith("http"):
+                v = _algo_abs_url(v, base)
+            parts.append(f' {k}="{_escape_attr(v)}"')
+        parts.append(">")
+        out.append("".join(parts))
+        if node.tag not in _VOID_ELEMENTS:
+            for c in node.children:
+                ser(c)
+            out.append(f"</{node.tag}>")
+
+    for c in el.children:
+        ser(c)
+    return "".join(out).strip()
+
+
+from reffy_spark.html.dom import VOID_ELEMENTS as _VOID_ELEMENTS  # noqa: E402
+
+
+def _dom_contains(a: Element, b: Element | None) -> bool:
+    """a.contains(b): b is a or a descendant of a."""
+    while b is not None:
+        if b is a:
+            return True
+        b = b.parent
+    return False
+
+
+def _algo_text(el: Element) -> str:
+    return normalize(clean_text(el, INFORMATIVE_SELECTOR))
+
+
+def _algo_html(el: Element, ctx) -> str:
+    return _serialize_html(el, ctx, drop_ol=True)
+
+
+def _algo_defined_name_in(el: Element, ctx) -> dict:
+    """getDefinedNameIn (extract-algorithms.mjs:345-388)."""
+    dfn = (
+        el
+        if el.tag == "dfn"
+        else el.query(
+            "dfn,h2[data-dfn-type],h3[data-dfn-type],h4[data-dfn-type],"
+            "h5[data-dfn-type],h6[data-dfn-type]"
+        )
+    )
+    if dfn is not None:
+        name = ""
+        if dfn.get("data-dfn-for"):
+            name = (
+                normalize(re.split(r",(?![^\(]*\))", dfn.get("data-dfn-for"))[0])
+                + "/"
+            )
+        if dfn.get("data-lt"):
+            name += normalize(dfn.get("data-lt").split("|")[0])
+        else:
+            name += _algo_text(dfn)
+        if dfn.id:
+            return {"name": name, "href": get_absolute_url(dfn, ctx)}
+        # dfn without an id: report the name alone (the JSON schema
+        # forbids null hrefs — extract-algorithms.mjs:364-380)
+        return {"name": name}
+    heading = el.query("h2[id],h3[id],h4[id],h5[id],h6[id]")
+    if heading is not None:
+        return {"name": _algo_text(heading), "href": get_absolute_url(heading, ctx)}
+    return {}
+
+
+def _algo_find_intro(algo: dict) -> Element | None:
+    """findIntroParagraph (extract-algorithms.mjs:395-424)."""
+    root: Element = algo["root"]
+    paragraph = None
+    container = root.closest("li,.algorithm")
+    while container is not None:
+        dfn = container.query("dfn")
+        if dfn is not None and not _dom_contains(root, dfn):
+            paragraph = dfn.closest("p,div,li")
+            break
+        if container.tag == "li":
+            break
+        container = (
+            container.parent.closest("li,.algorithm")
+            if container.parent is not None
+            else None
+        )
+    if paragraph is None:
+        paragraph = root
+        while paragraph is not None and (
+            paragraph.tag != "p" or paragraph.matches(INFORMATIVE_SELECTOR)
+        ):
+            paragraph = paragraph.previous_element_sibling
+    return paragraph
+
+
+def _algo_info(algo: dict, ctx, nested: bool) -> dict:
+    """getAlgorithmInfo (extract-algorithms.mjs:432-506)."""
+    info: dict = {}
+    root: Element = algo["root"]
+    container = root.closest(".algorithm")
+    if not nested:
+        while container is not None:
+            if container.get("data-algorithm"):
+                info["name"] = normalize(container.get("data-algorithm"))
+                if container.get("data-algorithm-for"):
+                    info["name"] = (
+                        normalize(container.get("data-algorithm-for"))
+                        + "/"
+                        + info["name"]
+                    )
+                if container.id:
+                    info["href"] = get_absolute_url(container, ctx)
+                else:
+                    dfn = _algo_defined_name_in(container, ctx)
+                    if "href" in dfn:
+                        info["href"] = dfn["href"]
+            else:
+                info = _algo_defined_name_in(container, ctx)
+                if info.get("name") or info.get("href"):
+                    break
+            container = (
+                container.parent.closest(".algorithm")
+                if container.parent is not None
+                else None
+            )
+
+    paragraph = algo.get("intro")
+    if paragraph is not None:
+        if not nested and not (info.get("name") and info.get("href")):
+            info = {**_algo_defined_name_in(paragraph, ctx), **info}
+        info["html"] = _algo_html(paragraph, ctx)
+    elif root.parent is not None and root.parent.tag in ("li", "dd", "div"):
+        # no intro paragraph: the prose before the algorithm inside the
+        # list/definition item is the introduction
+        text_el = Element("div", {}, None, root.pos)
+        for node in root.parent.children:
+            if node is root:
+                break
+            text_el.children.append(node)
+        if not nested and not (info.get("name") and info.get("href")):
+            info = {**_algo_defined_name_in(text_el, ctx), **info}
+        info["html"] = _algo_html(text_el, ctx)
+
+    if (
+        not nested
+        and not (info.get("name") and info.get("href"))
+        and root.parent is not None
+        and root.parent.tag == "dd"
+    ):
+        dt = root.parent.previous_element_sibling
+        while dt is not None and dt.tag != "dt":
+            dt = dt.previous_element_sibling
+        if dt is not None:
+            info = {**_algo_defined_name_in(dt, ctx), **info}
+    return info
+
+
+def _algo_rationale(ol: Element) -> str | None:
+    """findRationale (extract-algorithms.mjs:540-578)."""
+    if ol.matches(".algorithm"):
+        return ".algorithm"
+    for li in ol.query_all("li"):
+        text = _algo_text(li).lower()
+        for op in _STEP_OPERATIONS:
+            if re.match(rf"^{op}(\.|:| )", text, re.I):
+                return op
+        for op, ser in _STEP_INLINE_OPERATIONS:
+            if isinstance(op, str):
+                if op in text:
+                    return op
+            elif op.search(text):
+                return ser
+        for op, ser in _STEP_ANCHORS:
+            if isinstance(op, str):
+                if op in text:
+                    return op
+            elif op.search(text):
+                return ser
+    return None
+
+
+def _algo_find_algorithms(section: Element, ctx, include_ignored: bool = False) -> list[dict]:
+    """findAlgorithms (extract-algorithms.mjs:584-667)."""
+    actual = []
+    for el in section.query_all(".algorithm,.switch"):
+        if el.closest(INFORMATIVE_SELECTOR) is not None:
             continue
-        rec: dict = {"rationale": ".algorithm"}
-        name = el.get("data-algorithm")
-        if name:
-            rec["name"] = normalize(name)
-        if el.id:
-            rec["href"] = get_absolute_url(el, ctx)
-        ol = el.query("ol") if el.tag != "ol" else el
-        if ol is not None:
-            rec["steps"] = steps_of(ol)
-        out.append(rec)
-    return out
+        algo = {
+            "rationale": ".algorithm" if el.matches(".algorithm") else ".switch",
+            "root": el,
+        }
+        if algo["root"].tag not in ("dl", "ol"):
+            algo["root"] = algo["root"].query("ol")
+        if algo["root"] is not None:
+            actual.append(algo)
+
+    probable = []
+    for ol in section.query_all("ol"):
+        if ol.closest(INFORMATIVE_SELECTOR) is not None:
+            continue
+        if ol.closest("nav,.toc,#toc") is not None:
+            continue
+        if any(_dom_contains(a["root"], ol) for a in actual):
+            continue
+        rationale = _algo_rationale(ol)
+        if include_ignored or rationale:
+            probable.append({"rationale": rationale, "root": ol})
+
+    all_algos = actual + probable
+    seen_roots: list[Element] = []
+    deduped = []
+    for a in all_algos:
+        if any(a["root"] is r for r in seen_roots):
+            continue
+        seen_roots.append(a["root"])
+        deduped.append(a)
+    all_algos = [
+        a1
+        for a1 in deduped
+        if not any(
+            a2 is not a1 and _dom_contains(a2["root"], a1["root"])
+            for a2 in deduped
+        )
+    ]
+    for algo in all_algos:
+        algo["intro"] = _algo_find_intro(algo)
+
+    # probable "one-step" algorithms: "To <dfn data-export>" paragraphs
+    # without captured steps (extract-algorithms.mjs:639-651)
+    dfn_sel = (
+        'dfn[data-export][data-dfn-type="dfn"],'
+        'dfn[data-export][data-dfn-type="abstract-op"]'
+    )
+    for p in section.query_all("p"):
+        dfn = p.query(dfn_sel)
+        if dfn is None:
+            continue
+        if not p.text.startswith("To " + dfn.text):
+            continue
+        if any(a.get("intro") is p for a in all_algos):
+            continue
+        all_algos.append({"rationale": "To <dfn>", "root": p, "intro": p})
+
+    all_algos.sort(key=lambda a: a["root"].pos)
+    return all_algos
+
+
+def _algo_serialize_step(li: Element, ctx) -> dict:
+    """serializeStep (extract-algorithms.mjs:515-537)."""
+    res: dict = {}
+    candidates = _algo_find_algorithms(li, ctx, include_ignored=True)
+    algos = [a for a in candidates if a["rationale"]]
+    if algos:
+        res = _algo_serialize(algos[0], ctx, nested=True)
+    if not res.get("html"):
+        res["html"] = _serialize_html(li, ctx, drop_ol=True)
+    if len(algos) > 1:
+        res["additional"] = [
+            _algo_serialize(a, ctx, nested=True) for a in algos[1:]
+        ]
+    ignored = [a for a in candidates if not a["rationale"]]
+    if ignored:
+        res["ignored"] = [_algo_text(a["root"]) for a in ignored]
+    return res
+
+
+def _algo_serialize_steps(root: Element, ctx) -> list[dict]:
+    """serializeSteps (extract-algorithms.mjs:484-510)."""
+    if root.tag == "dl":
+        steps = []
+        for dt in [c for c in root.child_elements() if c.tag == "dt"]:
+            dd = dt.next_element_sibling
+            while dd is not None and dd.tag != "dd":
+                dd = dd.next_element_sibling
+            step: dict = {"case": _algo_text(dt)}
+            if dd is not None:
+                step.update(_algo_serialize_step(dd, ctx))
+            steps.append(step)
+        return [{"operation": "switch", "steps": steps}]
+    if root.tag == "ol":
+        return [
+            _algo_serialize_step(li, ctx)
+            for li in root.child_elements()
+            if li.tag == "li"
+        ]
+    return []
+
+
+def _algo_serialize(algo: dict, ctx, nested: bool = False) -> dict:
+    res = _algo_info(algo, ctx, nested)
+    res["rationale"] = algo["rationale"]
+    steps = _algo_serialize_steps(algo["root"], ctx)
+    if steps:
+        res["steps"] = steps
+    return res
+
+
+def extract_algorithms(ctx) -> list[dict]:
+    """extract-algorithms.mjs full port (W6): `.algorithm`/`.switch`
+    containers, probable `<ol>` step lists gated on step-operation verbs,
+    "To <dfn>" one-liners, switch serialization, nested/additional/
+    ignored step reporting, intro-paragraph and name/href resolution.
+    ES specs use <emu-alg> clauses the reference skips
+    (organization === 'Ecma International'); mirrored by the emu-clause
+    sniff."""
+    if ctx.root.query("emu-alg, emu-clause") is not None:
+        return []
+    return [
+        _algo_serialize(a, ctx)
+        for a in _algo_find_algorithms(ctx.root, ctx)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -1819,6 +2323,40 @@ def extract_css(ctx) -> dict:
         descriptors = _extract_css_dfns(
             ctx, root.query_all("div.descdef dl"), _extract_dl_dfns, "push", True, warnings
         )
+    # legacy name aliases: prose dfn + reference, or a two-column compat
+    # table right after the paragraph (extract-cssdfn.mjs:919-966)
+    for a in root.query_all('a[href$="#legacy-name-alias"]'):
+        el = a.parent
+        if el is None:
+            continue
+        dfn = el.query('dfn[data-dfn-type="property"]')
+        alias = el.query('a[data-link-type="property"]')
+        if dfn is not None and alias is not None:
+            props.append(
+                {
+                    "name": _css_normalize(dfn.text),
+                    "href": get_absolute_url(dfn, ctx),
+                    "legacyAliasOf": _css_normalize(alias.text),
+                }
+            )
+        else:
+            table = el.next_element_sibling
+            if table is None or table.tag != "table":
+                continue
+            if len(table.query_all("thead > tr > th")) != 2:
+                continue
+            for row in table.query_all("tbody > tr"):
+                dfn = row.query('dfn[data-dfn-type="property"]')
+                alias = row.query('a[data-link-type="property"]')
+                if dfn is not None and alias is not None:
+                    props.append(
+                        {
+                            "name": _css_normalize(dfn.text),
+                            "href": get_absolute_url(dfn, ctx),
+                            "legacyAliasOf": _css_normalize(alias.text),
+                        }
+                    )
+
     subsidiary = _extract_css_dfns(
         ctx,
         typed({"at-rule"}, require_no_for=False),

@@ -167,6 +167,12 @@ def _parse_simple(s: str):
             if "^=" in body:
                 k, v = body.split("^=", 1)
                 conds.append(("attr^", k.strip(), v.strip().strip("\"'")))
+            elif "$=" in body:
+                k, v = body.split("$=", 1)
+                conds.append(("attr$", k.strip(), v.strip().strip("\"'")))
+            elif "*=" in body:
+                k, v = body.split("*=", 1)
+                conds.append(("attr*", k.strip(), v.strip().strip("\"'")))
             elif "=" in body:
                 k, v = body.split("=", 1)
                 conds.append(("attr", k.strip(), v.strip().strip("\"'")))
@@ -221,6 +227,12 @@ def _matches_simple(el: Element, simple) -> bool:
                 return False
         elif kind == "attr^":
             if not (el.attrs.get(k) or "").startswith(v):
+                return False
+        elif kind == "attr$":
+            if not (el.attrs.get(k) or "").endswith(v):
+                return False
+        elif kind == "attr*":
+            if v not in (el.attrs.get(k) or ""):
                 return False
     return True
 

@@ -58,6 +58,64 @@ class CrawlResult:
     metrics: list[RoundMetrics] = field(default_factory=list)
 
 
+def freshest_capture(pages_canon: DataFrame) -> DataFrame:
+    """J3 cache-info join: collapse multiple captures of one canonical URL
+    to the freshest (max warc_ts, tie-break max page_url) — the
+    crawl-cache semantics of the reference's conditional refetch
+    (src/lib/util.js:461-488).
+
+    max_by keeps the aggregation partial (map-side combine) — a
+    row_number window would force a full sort of the pages table. A
+    production crawl writes this once as an Iceberg table bucketed by
+    url_canon; recomputing the expression chain per round is cheap
+    (measured: persist() cost 4× the recompute locally).
+    """
+    order_cols = [
+        c for c in ("warc_ts", "page_url") if c in pages_canon.columns
+    ]
+    return (
+        pages_canon.groupBy("url_canon")
+        .agg(
+            F.max_by(F.struct("page_url", "html"), F.struct(*order_cols)).alias(
+                "_best"
+            )
+        )
+        .select("url_canon", "_best.page_url", "_best.html")
+    )
+
+
+def fetch_with_fallback(
+    pages: DataFrame, batch_slim: DataFrame, broadcast_batch: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """J2 fetch + fallback: inner-join the round's batch to the pages
+    table, and a keys-only anti-join for the misses (the reference's
+    fallback/--use-crawl path records an error result instead of
+    dropping the spec, specs-crawler.js:54-65).
+
+    Returns (fetched_ok, notfound): callers run extraction over
+    ``fetched_ok`` and union ``notfound`` after. The batch side is
+    budget-bounded → broadcast (pages never shuffles); the anti-join uses
+    a shuffle_hash hint because the pages-keys side can be millions of
+    rows in replay mode — broadcasting it would rebuild a huge hash
+    relation for a join that usually matches nothing.
+    """
+    batch_b = F.broadcast(batch_slim) if broadcast_batch else batch_slim
+    fetched_ok = pages.select("url_canon", "html").join(
+        batch_b, on="url_canon", how="inner"
+    )
+    notfound = (
+        batch_slim.join(
+            pages.select("url_canon").hint("shuffle_hash"),
+            on="url_canon",
+            how="left_anti",
+        )
+        .withColumn("host", host_col(F.col("url_canon")))
+        .withColumn("host_group", host_group_col(F.col("url_canon")))
+        .withColumn("status", F.lit("notfound"))
+    )
+    return fetched_ok, notfound
+
+
 class CrawlEngine:
     def __init__(
         self,
@@ -112,22 +170,7 @@ class CrawlEngine:
         if assume_canonical_unique:
             self.pages = pc.select("url_canon", "page_url", "html")
         else:
-            # max_by keeps the aggregation partial (map-side combine) — a
-            # row_number window would force a full sort of the pages
-            # table. A production crawl writes this once as an Iceberg
-            # table bucketed by url_canon; recomputing the expression
-            # chain per round is cheap (measured: persist() cost 4× the
-            # recompute locally).
-            order_cols = [c for c in ("warc_ts", "page_url") if c in pc.columns]
-            self.pages = (
-                pc.groupBy("url_canon")
-                .agg(
-                    F.max_by(
-                        F.struct("page_url", "html"), F.struct(*order_cols)
-                    ).alias("_best")
-                )
-                .select("url_canon", "_best.page_url", "_best.html")
-            )
+            self.pages = freshest_capture(pc)
         self.broadcast_batch = broadcast_batch
         # Round-state durability: ``localCheckpoint`` blocks are NOT
         # fault-tolerant — on a multi-executor cluster one lost executor
@@ -218,9 +261,25 @@ class CrawlEngine:
     ) -> CrawlResult:
         all_results: list[DataFrame] = list(prior or [])
         metrics: list[RoundMetrics] = []
+        # round-state plans whose commit was deferred to the next round
+        # (ephemeral modes only — see the commit block at the loop bottom)
+        deferred: list[tuple[str, str, int]] = []
 
         for rnd in range(start_round, max_rounds + 1):
             t0 = time.monotonic()
+            # commit the PREVIOUS round's state now that we know the loop
+            # continues: the final round's frontier/seen have no consumer
+            # in ephemeral (no-checkpoint) crawls, so committing at the
+            # top of the next round instead of the bottom of the current
+            # one saves one full state write+read per crawl — on a
+            # single-round seed-list replay, that is the whole frontier
+            if deferred:
+                for var, name, r in deferred:
+                    if var == "frontier":
+                        frontier = self._materialize(frontier, name, r)
+                    else:
+                        seen = self._materialize(seen, name, r)
+                deferred = []
             if frontier.isEmpty():
                 break
 
@@ -254,9 +313,8 @@ class CrawlEngine:
                 if c in batch.columns
             ]
             batch_slim = batch.select("url_canon", *meta_cols)
-            batch_b = F.broadcast(batch_slim) if self.broadcast_batch else batch_slim
-            fetched_ok = self.pages.select("url_canon", "html").join(
-                batch_b, on="url_canon", how="inner"
+            fetched_ok, notfound = fetch_with_fallback(
+                self.pages, batch_slim, self.broadcast_batch
             )
 
             # ---- extract: one Arrow pass, all requested modules ---------
@@ -280,19 +338,6 @@ class CrawlEngine:
                 .withColumn("host", host_col(F.col("url_canon")))
                 .withColumn("host_group", host_group_col(F.col("url_canon")))
                 .withColumn("status", F.lit("ok"))
-            )
-            # shuffle_hash hint: the pages-keys side can be millions of
-            # rows in replay mode — broadcasting it would rebuild a huge
-            # hash relation for a join that usually matches nothing
-            notfound = (
-                batch_slim.join(
-                    self.pages.select("url_canon").hint("shuffle_hash"),
-                    on="url_canon",
-                    how="left_anti",
-                )
-                .withColumn("host", host_col(F.col("url_canon")))
-                .withColumn("host_group", host_group_col(F.col("url_canon")))
-                .withColumn("status", F.lit("notfound"))
             )
             for m in self.modules:
                 notfound = notfound.withColumn(m, F.lit(None).cast("string"))
@@ -334,6 +379,10 @@ class CrawlEngine:
                 new_urls = None
 
             # ---- commit round: update frontier + seen -------------------
+            # With a checkpoint_dir the commit happens NOW (durability and
+            # the resume contract: every round must leave frontier+seen on
+            # disk). Ephemeral crawls defer the commit to the top of the
+            # next round — if this was the last round, it never happens.
             frontier = frontier.join(
                 batch.select("url_canon"), on="url_canon", how="left_anti"
             )
@@ -342,10 +391,16 @@ class CrawlEngine:
                 seen = seen.unionByName(
                     new_urls.select("url_canon", F.lit(rnd).alias("first_round"))
                 )
-                seen = self._materialize(seen, "seen", rnd)
+                if self.checkpoint_dir:
+                    seen = self._materialize(seen, "seen", rnd)
+                else:
+                    deferred.append(("seen", "seen", rnd))
             elif self.checkpoint_dir:
                 seen = self._materialize(seen, "seen", rnd)
-            frontier = self._materialize(frontier, "frontier", rnd)
+            if self.checkpoint_dir:
+                frontier = self._materialize(frontier, "frontier", rnd)
+            else:
+                deferred.append(("frontier", "frontier", rnd))
 
             # ---- lineage metrics ----------------------------------------
             # All counts come from already-materialized round state, each

@@ -566,6 +566,70 @@ ORACLE_COSINE_TOPK = f"""
 """
 
 
+# LSH bucket reproduction: deterministic hyperplane components derive
+# from md5('plane-p-i') exactly like similarity._plane_component, so the
+# DuckDB twin recomputes the same planes and the same sign-concat bucket.
+_LSH_N_PLANES = 4  # 2^4 buckets over 500 vectors → ~30 candidates/bucket
+_LSH_PLANES_CTE = f"""
+    planes AS (
+      SELECT p, list(comp ORDER BY i) AS plane
+      FROM (
+        SELECT p.range AS p, i.range AS i,
+               ((('0x' || substr(md5('plane-' || p.range || '-' || i.range), 1, 15))::BIGINT
+                 % 2000001)::DOUBLE / 1000000.0 - 1.0) AS comp
+        FROM range(0, {_LSH_N_PLANES}) p, range(0, 64) i
+      )
+      GROUP BY p
+    ),
+    buckets AS (
+      SELECT e.vec_id, e.embedding,
+             CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+                    i -> (e.embedding[i]::DOUBLE) * pl.plane[i])) >= 0
+                  THEN (1 << pl.p) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings e, planes pl
+      GROUP BY e.vec_id, e.embedding
+    )
+"""
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate top-k: probe only the query vector's LSH bucket."""
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return S.ann_topk_lsh(emb, list(q0), dim=64, k=10, n_planes=_LSH_N_PLANES)
+
+
+ORACLE_ANN_TOPK_LSH = f"""
+    WITH {_LSH_PLANES_CTE}
+    SELECT b.vec_id AS vec_id, {_COS} AS cosine
+    FROM buckets b
+    JOIN buckets a ON a.vec_id = 0 AND b.bucket = a.bucket
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Near-duplicate vectors: LSH-bucketed candidates, exact cosine
+    verification inside buckets."""
+    emb = load(spark, sf_dir, "embeddings")
+    # synthetic embeddings top out near cosine 0.51 — 0.25 (≈ p99 of the
+    # pairwise distribution) exercises candidate gen + verification with
+    # a meaningful survivor set
+    return S.embedding_neardup_pairs(
+        emb, dim=64, threshold=0.25, n_planes=_LSH_N_PLANES
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+    WITH {_LSH_PLANES_CTE}
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cosine
+    FROM buckets a
+    JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_COS} >= 0.25
+"""
+
+
 # ===========================================================================
 # D. Extraction UDFs validated against arithmetic oracles
 # ===========================================================================
@@ -718,6 +782,8 @@ QUERIES = {
     "lang_rollup": q_lang_rollup,
     "knn_brute": q_knn_brute,
     "cosine_topk": q_cosine_topk,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "embedding_neardup": q_embedding_neardup,
     "extract_headings": q_extract_headings,
     "extract_links": q_extract_links,
     "crawl_replay": q_crawl_replay,
@@ -740,6 +806,8 @@ ORACLES = {
     "lang_rollup": ORACLE_LANG_ROLLUP,
     "knn_brute": ORACLE_KNN,
     "cosine_topk": ORACLE_COSINE_TOPK,
+    "ann_topk_lsh": ORACLE_ANN_TOPK_LSH,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "extract_headings": ORACLE_EXTRACT_HEADINGS,
     "extract_links": ORACLE_EXTRACT_LINKS,
     # crawl_replay: intentionally no oracle (BSP loop + UDF extraction);

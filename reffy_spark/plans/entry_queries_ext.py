@@ -270,7 +270,8 @@ def q_extract_elements(spark, sf_dir):
     html = _cat(
         '<h4 id="h-', i, '"><dfn id="el-', i, '">el', i, "</dfn> element</h4>",
         '<dl class="element"><dt>DOM interface:</dt>',
-        "<dd><code>HTMLElement", _s(F.col("doc_id") % 5), "</code></dd></dl>",
+        '<dd><a data-link-type="idl">HTMLElement', _s(F.col("doc_id") % 5),
+        "</a></dd></dl>",
     )
     url = _cat("https://el.test/d", i, "/")
     pages = d.select("doc_id", url.alias("url"), html.alias("html"))
@@ -1369,3 +1370,189 @@ EXT_QUERIES["idlnames_fragments"] = q_idlnames_fragments
 EXT_ORACLES["idlnames_fragments"] = ORACLE_IDLNAMES_FRAGMENTS
 EXT_QUERIES["missing_dfns"] = q_missing_dfns
 EXT_ORACLES["missing_dfns"] = ORACLE_MISSING_DFNS
+
+
+# ===========================================================================
+# seed filters (P1 + P2 + §2.7 versions), cache-info join (J3),
+# fetch fallback (J2), trimSpaces (F2)
+# ===========================================================================
+
+
+def q_seed_filters(spark, sf_dir):
+    """P1 discontinued filter + P2 crawl-url pick + versions union over an
+    arithmetic browser-specs-style seed list."""
+    from reffy_spark.sources.seeds import (
+        filter_active,
+        select_crawl_url,
+        with_versions,
+    )
+
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://seed.test/s", i, "/")
+    standing = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("discontinued"))
+        .when(F.col("doc_id") % 5 == 1, F.lit(None).cast("string"))
+        .otherwise(F.lit("good"))
+    )
+    release = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.struct(_cat("https://www.w3.org/TR/s", i, "/").alias("url")),
+    )
+    nightly = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.struct(_cat("https://n.test/s", i, "/").alias("url")),
+    )
+    seeds = d.select(
+        url.alias("url"),
+        standing.alias("standing"),
+        release.alias("release"),
+        nightly.alias("nightly"),
+    )
+    out = with_versions(select_crawl_url(filter_active(seeds)))
+    return out.select(
+        "url",
+        "url_to_crawl",
+        F.array_join("versions", ",").alias("versions_csv"),
+    )
+
+
+ORACLE_SEED_FILTERS = """
+    WITH base AS (
+      SELECT doc_id,
+             'https://seed.test/s' || doc_id || '/' AS url,
+             CASE WHEN doc_id % 3 = 0
+                  THEN 'https://www.w3.org/TR/s' || doc_id || '/' END AS rel,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'https://n.test/s' || doc_id || '/' END AS night
+      FROM documents
+      WHERE doc_id % 5 <> 0
+    )
+    SELECT url,
+           COALESCE(night, url) AS url_to_crawl,
+           -- DuckDB's list_distinct does not preserve order; the three
+           -- candidate URLs are distinct by construction, so plain filter
+           array_to_string(
+             list_filter([url, rel, night], x -> x IS NOT NULL), ',') AS versions_csv
+    FROM base
+"""
+
+
+def q_cache_info(spark, sf_dir):
+    """J3 freshest-capture election: 1 row per canonical URL from a table
+    of multiple captures (max warc_ts, tie-break max page_url)."""
+    from reffy_spark.operators.crawler import freshest_capture
+
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    canon = _cat("https://cache.test/p", _s(F.col("doc_id") % 100), "/")
+    pages = d.select(
+        canon.alias("url_canon"),
+        _cat(canon, "v", i).alias("page_url"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(hours=(F.col("doc_id") % 7).cast("int"))
+        ).alias("warc_ts"),
+        _cat("h", i).cast("binary").alias("html"),
+    )
+    out = freshest_capture(pages)
+    return out.select(
+        "url_canon", "page_url", F.col("html").cast("string").alias("html_str")
+    )
+
+
+ORACLE_CACHE_INFO = """
+    SELECT url_canon, page_url, html_str FROM (
+      SELECT 'https://cache.test/p' || (doc_id % 100) || '/' AS url_canon,
+             'https://cache.test/p' || (doc_id % 100) || '/v' || doc_id AS page_url,
+             'h' || doc_id AS html_str,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id % 100
+               ORDER BY doc_id % 7 DESC,
+                 'https://cache.test/p' || (doc_id % 100) || '/v' || doc_id DESC
+             ) AS rn
+      FROM documents
+    ) WHERE rn = 1
+"""
+
+
+def q_fetch_fallback(spark, sf_dir):
+    """J2: fetch join + keys-only anti-join fallback — docs divisible by 4
+    are missing from the pages table and come back as notfound rows."""
+    from reffy_spark.operators.crawler import fetch_with_fallback
+
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    canon = _cat("https://f.test/p", i, "/")
+    pages = d.filter(F.col("doc_id") % 4 != 0).select(
+        canon.alias("url_canon"),
+        canon.alias("page_url"),
+        _cat("h", i).cast("binary").alias("html"),
+    )
+    batch = d.select(
+        canon.alias("url_canon"), (F.col("doc_id") % 3).cast("int").alias("depth")
+    )
+    ok, notfound = fetch_with_fallback(pages, batch)
+    return ok.select(
+        "url_canon", "depth", F.lit("ok").alias("status")
+    ).unionByName(notfound.select("url_canon", "depth", "status"))
+
+
+ORACLE_FETCH_FALLBACK = """
+    SELECT 'https://f.test/p' || doc_id || '/' AS url_canon,
+           CAST(doc_id % 3 AS INT) AS depth,
+           CASE WHEN doc_id % 4 = 0 THEN 'notfound' ELSE 'ok' END AS status
+    FROM documents
+"""
+
+
+def q_trim_spaces(spark, sf_dir):
+    """F2 trimSpaces: de-indent code blocks (common leading-space count of
+    lines 2+ dropped, lines rstripped, blank lines blanked)."""
+    from reffy_spark.functions.text import trim_spaces_udf
+
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    block = _cat(
+        "function f", i, "() {  \n",
+        "    let a = ", i, ";   \n",
+        "      let b = a + ", i, ";\n",
+        "   \n",
+        "    return b;  \n",
+        "  }",
+    )
+    return d.select(
+        "doc_id", trim_spaces_udf(block).alias("trimmed")
+    )
+
+
+ORACLE_TRIM_SPACES = """
+    -- common indent of lines 2+ is 2 (the closing brace line): each
+    -- non-blank line loses 2 leading spaces and its trailing whitespace
+    SELECT doc_id,
+           'function f' || doc_id || '() {' || chr(10) ||
+           '  let a = ' || doc_id || ';' || chr(10) ||
+           '    let b = a + ' || doc_id || ';' || chr(10) ||
+           chr(10) ||
+           '  return b;' || chr(10) ||
+           '}' AS trimmed
+    FROM documents
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "seed_filters": q_seed_filters,
+        "cache_info": q_cache_info,
+        "fetch_fallback": q_fetch_fallback,
+        "trim_spaces": q_trim_spaces,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "seed_filters": ORACLE_SEED_FILTERS,
+        "cache_info": ORACLE_CACHE_INFO,
+        "fetch_fallback": ORACLE_FETCH_FALLBACK,
+        "trim_spaces": ORACLE_TRIM_SPACES,
+    }
+)

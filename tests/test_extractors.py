@@ -283,7 +283,7 @@ def test_elements_interface():
     html = (
         "<h4 id='the-p'><dfn id='p-el'>p</dfn> element</h4>"
         "<dl class='element'><dt>DOM interface:</dt>"
-        "<dd><code>HTMLParagraphElement</code></dd></dl>"
+        "<dd>Uses <code>HTMLParagraphElement</code>.</dd></dl>"
     )
     res = one(html, "elements")
     assert res == [
@@ -295,12 +295,27 @@ def test_algorithms_steps():
     html = (
         "<div class='algorithm' data-algorithm='run a thing' id='alg'>"
         "<ol><li>First step.</li><li>Second step."
-        "<ol><li>Nested.</li></ol></li></ol></div>"
+        "<ol><li>Let x be nested.</li></ol></li></ol></div>"
     )
     res = one(html, "algorithms")
     assert res[0]["name"] == "run a thing"
     assert res[0]["steps"][0] == {"html": "First step."}
-    assert res[0]["steps"][1]["steps"] == [{"html": "Nested."}]
+    # the nested list carries a step operation ("let") → nested algorithm
+    assert res[0]["steps"][1]["rationale"] == "let"
+    assert res[0]["steps"][1]["steps"] == [{"html": "Let x be nested."}]
+    assert res[0]["steps"][1]["html"] == "Second step."
+
+
+def test_algorithms_nested_list_without_operations_is_ignored():
+    html = (
+        "<div class='algorithm' data-algorithm='run a thing' id='alg'>"
+        "<ol><li>First step.</li><li>Second step."
+        "<ol><li>Nested.</li></ol></li></ol></div>"
+    )
+    res = one(html, "algorithms")
+    # reference semantics: a nested <ol> whose items carry no recognized
+    # step operation is reported in `ignored`, not as sub-steps
+    assert res[0]["steps"][1] == {"html": "Second step.", "ignored": ["Nested."]}
 
 
 def test_events_fire_prose():

@@ -1,0 +1,94 @@
+"""Golden corpora mechanically lifted from the reference's own test
+suites (tests/data/reference_goldens/*.json, dumped verbatim from
+/root/reference/test/extract-css.js, extract-elements.js,
+extract-algorithms.js, extract-references.js — the four corpora round 2
+had not yet ported). Each case is the reference's exact fixture HTML and
+expected extraction result; the runner mirrors the reference harness:
+
+* css: the harness moves the first <aside> into `[data-insert=aside]`
+  before extraction (extract-css.js:1921-1932 — Bikeshed info-panel
+  behavior), compares `extracted[propertyName ?? 'properties']`, and
+  `error` cases compare the whole {error} object;
+* elements / references: deepEqual against `res`;
+* algorithms: deepEqual against `algorithms`.
+"""
+
+import json
+import os
+
+import pytest
+
+from reffy_spark.extractors import extract_page
+
+URL = "about:blank"
+DATA = os.path.join(os.path.dirname(__file__), "data", "reference_goldens")
+
+
+def _load(name):
+    with open(os.path.join(DATA, name + ".json")) as f:
+        return json.load(f)
+
+
+CSS_CASES = _load("extract-css")
+ELEMENT_CASES = _load("extract-elements")
+ALGO_CASES = _load("extract-algorithms")
+REF_CASES = _load("extract-references")
+
+
+def _move_aside(html: str) -> str:
+    # the reference harness runs this in-page with JS; our fixtures are
+    # static so splice the <aside>…</aside> into the data-insert target
+    if "<aside" not in html or "data-insert=aside" not in html:
+        return html
+    start = html.index("<aside")
+    end = html.index("</aside>") + len("</aside>")
+    aside = html[start:end]
+    rest = html[:start] + html[end:]
+    # insert as last child of the [data-insert=aside] element
+    import re
+
+    m = re.search(r"<([a-z0-9]+)[^>]*data-insert=aside[^>]*>", rest)
+    if not m:
+        return html
+    close = rest.index(f"</{m.group(1)}>", m.end())
+    return rest[:close] + aside + rest[close:]
+
+
+@pytest.mark.parametrize(
+    "case", CSS_CASES, ids=[c["title"][:60] for c in CSS_CASES]
+)
+def test_reference_css_case(case):
+    got = extract_page(_move_aside(case["html"]), URL, ["css"])["css"]
+    if case.get("error"):
+        assert got == {"error": case["error"]}
+        return
+    # mirrors assert.deepEqual(extracted[propertyName ?? 'properties'],
+    # t.css): a case without `css` expects the key to be absent
+    key = case.get("propertyName", "properties")
+    assert got.get(key) == case.get("css")
+
+
+@pytest.mark.parametrize(
+    "case", ELEMENT_CASES, ids=[c["title"][:60] for c in ELEMENT_CASES]
+)
+def test_reference_elements_case(case):
+    got = extract_page(case["html"], URL, ["elements"], spec=case.get("spec"))[
+        "elements"
+    ]
+    assert got == case["res"]
+
+
+@pytest.mark.parametrize(
+    "case", ALGO_CASES, ids=[c["title"][:60] for c in ALGO_CASES]
+)
+def test_reference_algorithms_case(case):
+    got = extract_page(case["html"], URL, ["algorithms"])["algorithms"]
+    assert got == case["algorithms"]
+
+
+@pytest.mark.parametrize(
+    "case", REF_CASES, ids=[c["title"][:60] for c in REF_CASES]
+)
+def test_reference_references_case(case):
+    got = extract_page(case["html"], URL, ["refs"])["refs"]
+    assert got == case["res"]
