@@ -764,7 +764,16 @@ def extract_cddl(ctx) -> list[dict]:
         attr = el.get("data-cddl-module")
         if attr:
             return [normalize(m) for m in attr.split(",")]
-        return [c[len("cddl-"):] for c in el.classes if c.startswith("cddl-") and len(c) > 5]
+        # class names prefixed `cddl-` OR suffixed `-cddl` both name
+        # modules (extract-cddl.mjs getModules:107-125)
+        out: list[str] = []
+        for c in el.classes:
+            m = re.match(r"^(.*)-cddl$|^cddl-(.*)$", c)
+            if m:
+                shortname = m.group(1) if m.group(1) is not None else m.group(2)
+                if shortname not in out:
+                    out.append(shortname)
+        return out
 
     modules: dict[str, list[str]] = {}
     for el in cddl_els:
@@ -787,8 +796,14 @@ def extract_cddl(ctx) -> list[dict]:
     for name, blocks in modules.items():
         res.append({"name": name, "cddl": "\n\n".join(blocks)})
     for mod in res:
-        mod["cddl"] = re.sub(r"[ \t\r\f\v]+$", "", mod["cddl"], flags=re.M)
-        mod["cddl"] = re.sub(r"\s+$", "\n", mod["cddl"]).replace("\t", "  ").strip()
+        # /\s+$/gm: a trailing-whitespace run (including blank lines)
+        # before each line boundary collapses to one newline — so blocks
+        # separated by any number of blank lines end up '\n\n' apart
+        mod["cddl"] = (
+            re.sub(r"\s+$", "\n", mod["cddl"], flags=re.M)
+            .replace("\t", "  ")
+            .strip()
+        )
     return res
 
 

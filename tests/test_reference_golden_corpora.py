@@ -33,6 +33,10 @@ CSS_CASES = _load("extract-css")
 ELEMENT_CASES = _load("extract-elements")
 ALGO_CASES = _load("extract-algorithms")
 REF_CASES = _load("extract-references")
+IDL_CASES = _load("extract-webidl")
+CDDL_CASES = _load("extract-cddl")
+ID_CASES = _load("extract-ids")
+LINK_CASES = _load("extract-links")
 
 
 def _move_aside(html: str) -> str:
@@ -91,4 +95,41 @@ def test_reference_algorithms_case(case):
 )
 def test_reference_references_case(case):
     got = extract_page(case["html"], URL, ["refs"])["refs"]
+    assert got == case["res"]
+
+
+@pytest.mark.parametrize(
+    "case", IDL_CASES, ids=[c["title"][:60] for c in IDL_CASES]
+)
+def test_reference_webidl_case(case):
+    got = extract_page(case["html"], URL, ["idl"])["idl"]
+    assert got == case["res"]
+
+
+@pytest.mark.parametrize(
+    "case", CDDL_CASES, ids=[c["title"][:60] for c in CDDL_CASES]
+)
+def test_reference_cddl_case(case):
+    got = extract_page(case["html"], URL, ["cddl"])["cddl"]
+    # string shorthand: exactly one module whose cddl matches
+    if isinstance(case["res"], str):
+        assert len(got) == 1
+        assert got[0]["cddl"] == case["res"]
+    else:
+        assert got == case["res"]
+
+
+@pytest.mark.parametrize(
+    "case", ID_CASES, ids=[c["title"][:60] for c in ID_CASES]
+)
+def test_reference_ids_case(case):
+    got = extract_page(case["html"], URL, ["ids"])["ids"]
+    assert got == case["res"]
+
+
+@pytest.mark.parametrize(
+    "case", LINK_CASES, ids=[c["title"][:60] for c in LINK_CASES]
+)
+def test_reference_links_case(case):
+    got = extract_page(case["html"], URL, ["links"])["links"]
     assert got == case["res"]
