@@ -187,7 +187,13 @@ def consolidate_features(features: DataFrame) -> DataFrame:
             F.col("_tsyn"),
         ).otherwise(F.col("syntax")),
     )
-    return out.select("category", "name", "for", "href", "syntax", "extended")
+    # passthrough columns (full-fidelity crawl report: remaining feature
+    # fields as JSON, first-seen order) survive the base election because
+    # the base row is kept whole
+    passthrough = [c for c in ("extra", "_ord", "legacy_alias_of") if c in features.columns]
+    return out.select(
+        "category", "name", "for", "href", "syntax", "extended", *passthrough
+    )
 
 
 def merge_descriptors(descriptors: DataFrame) -> DataFrame:
@@ -207,3 +213,214 @@ def merge_descriptors(descriptors: DataFrame) -> DataFrame:
         .select("atrule", "name", "href", F.col("value").alias("syntax"))
         .orderBy("atrule", "name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-fidelity crawl-level report (cssmerge.js run(), tested by the
+# reference's test/merge-css.js corpus)
+# ---------------------------------------------------------------------------
+
+_EXTRACT_CATEGORIES = ("atrules", "properties", "selectors", "values")
+_REPORT_CATEGORIES = ("atrules", "functions", "properties", "selectors", "types")
+_FEATURE_KEYS = (
+    "name", "for", "href", "value", "newValues", "legacyAliasOf",
+    "type", "values", "descriptors",
+)
+
+
+def _copy_scoped_to_root(feature: dict, categorized: dict) -> None:
+    """copyScopedValuesToRootLevel (cssmerge.js:62-96): hoist scoped
+    functions/types with a `for` backlink; move nested at-rules out of
+    descriptor lists; recurse."""
+    if feature.get("values"):
+        values = [
+            {"for": feature["name"], **v}
+            for v in feature["values"]
+            if v.get("type") in ("function", "type")
+        ]
+        categorized["functions"].extend(
+            v for v in values if v["type"] == "function"
+        )
+        categorized["types"].extend(v for v in values if v["type"] == "type")
+        for v in values:
+            _copy_scoped_to_root(v, categorized)
+    if feature.get("descriptors"):
+        atrules = [
+            {"descriptors": [], **v}
+            for v in feature["descriptors"]
+            if v.get("type") == "at-rule"
+        ]
+        categorized["atrules"].extend(atrules)
+        feature["descriptors"] = [
+            d for d in feature["descriptors"] if d.get("type") != "at-rule"
+        ]
+        for d in feature["descriptors"]:
+            _copy_scoped_to_root(d, categorized)
+
+
+def _feature_id(name: str, for_) -> str:
+    if for_:
+        joined = ",".join(for_) if isinstance(for_, list) else for_
+        return f"{name} for {joined}"
+    return name
+
+
+def cssmerge_crawl(spark, results: list[dict]) -> dict:
+    """The reference's crawl-level `css.json` consolidation
+    (src/postprocessing/cssmerge.js run():99-360): flatten the per-spec
+    nested CSS extracts into feature/descriptor long tables, run the
+    relational consolidation (`consolidate_features`), then reassemble
+    the categorized report with scope merging, descriptor merging, and
+    the reference's featureId sort.
+
+    The heavy lifting (base election across series levels, newValues
+    unions, re-definition overrides, shadow drops, alias syntax) runs as
+    DataFrame plans; flatten/reassembly is driver-side glue over the
+    (small) crawl-level extract set.
+    """
+    import json
+
+    import pandas as pd  # noqa: F401
+
+    categorized: dict[str, list[dict]] = {c: [] for c in _REPORT_CATEGORIES}
+    owners: list[dict] = []  # per pushed feature: spec info + descriptors
+    for spec in results:
+        css = spec.get("css")
+        if not css or not isinstance(css, dict):
+            continue
+        data = json.loads(json.dumps(css))  # structured clone
+        info = {
+            "series": (spec.get("series") or {}).get("shortname"),
+            "series_version": float(spec.get("seriesVersion") or 0),
+            "crawled": spec.get("crawled") or spec.get("url"),
+        }
+        cats = {
+            "atrules": list(data.get("atrules") or []),
+            "properties": list(data.get("properties") or []),
+            "selectors": list(data.get("selectors") or []),
+            "functions": [
+                v for v in (data.get("values") or []) if v.get("type") == "function"
+            ],
+            "types": [
+                v for v in (data.get("values") or []) if v.get("type") == "type"
+            ],
+        }
+        for c in _REPORT_CATEGORIES:
+            for f in cats[c]:
+                f["_spec"] = info
+                categorized[c].append(f)
+        for cat in _EXTRACT_CATEGORIES:
+            for f in data.get(cat) or []:
+                before = {c: len(categorized[c]) for c in _REPORT_CATEGORIES}
+                _copy_scoped_to_root(f, categorized)
+                for c in _REPORT_CATEGORIES:
+                    for nf in categorized[c][before[c]:]:
+                        nf.setdefault("_spec", info)
+
+    # ---- feature long table ------------------------------------------------
+    rows = []
+    uid = 0
+    for c in _REPORT_CATEGORIES:
+        for f in categorized[c]:
+            extra = {
+                k: v
+                for k, v in f.items()
+                if k not in _FEATURE_KEYS and not k.startswith("_")
+            }
+            rows.append(
+                {
+                    "uid": uid,
+                    "category": c,
+                    "name": f.get("name"),
+                    "for": f.get("for"),
+                    "href": f.get("href"),
+                    "value": f.get("value"),
+                    "new_values": f.get("newValues"),
+                    "legacy_alias_of": f.get("legacyAliasOf"),
+                    "series": f["_spec"]["series"],
+                    "series_version": f["_spec"]["series_version"],
+                    "spec_url": f["_spec"]["crawled"],
+                    "extra": json.dumps(extra, sort_keys=True),
+                    "_ord": uid,
+                    "has_descriptors": "descriptors" in f,
+                }
+            )
+            uid += 1
+    if not rows:
+        return {c: [] for c in _REPORT_CATEGORIES}
+    feat_df = spark.createDataFrame(
+        rows,
+        "uid long, category string, name string, for string, href string, "
+        "value string, new_values string, legacy_alias_of string, "
+        "series string, series_version double, spec_url string, "
+        "extra string, _ord long, has_descriptors boolean",
+    )
+    consolidated = consolidate_features(
+        feat_df.drop("uid", "has_descriptors")
+    ).collect()
+
+    # ---- descriptor merge --------------------------------------------------
+    # keep a descriptor from the dfn at series level v iff no other dfn of
+    # the same feature defines a descriptor with the same name at a level
+    # > v (hasNewerDescriptorDfn, cssmerge.js:254-259)
+    desc_rows: dict[str, list[tuple[float, int, dict]]] = {}
+    has_desc_key: set[str] = set()
+    for c in _REPORT_CATEGORIES:
+        for f in categorized[c]:
+            fid = c + "\x00" + _feature_id(
+                __import__("re").sub(r"^<([^>]+)>$", r"\1", f.get("name") or ""),
+                f.get("for"),
+            )
+            if "descriptors" in f:
+                has_desc_key.add(fid)
+            for i, d in enumerate(f.get("descriptors") or []):
+                desc_rows.setdefault(fid, []).append(
+                    (f["_spec"]["series_version"], i, d)
+                )
+    merged_descs: dict[str, list[dict]] = {}
+    for fid, entries in desc_rows.items():
+        max_v_per_name: dict[str, float] = {}
+        for v, _i, d in entries:
+            n = d.get("name")
+            max_v_per_name[n] = max(max_v_per_name.get(n, v), v)
+        kept = [d for v, _i, d in entries if v >= max_v_per_name[d.get("name")]]
+        for d in kept:
+            d.pop("values", None)
+            if d.get("value") is not None:
+                d["syntax"] = d.pop("value")
+        kept.sort(key=lambda d: d.get("name") or "")
+        merged_descs[fid] = kept
+
+    # ---- reassembly --------------------------------------------------------
+    out: dict[str, list[dict]] = {c: [] for c in _REPORT_CATEGORIES}
+    by_href: dict[tuple, dict] = {}
+    for r in sorted(consolidated, key=lambda r: r["_ord"]):
+        entry = dict(json.loads(r["extra"]))
+        entry["name"] = r["name"]
+        if r["href"] is not None:
+            entry["href"] = r["href"]
+        if r["legacy_alias_of"] is not None:
+            entry["legacyAliasOf"] = r["legacy_alias_of"]
+        if r["syntax"] is not None:
+            entry["syntax"] = r["syntax"]
+        entry["extended"] = list(r["extended"] or [])
+        fid = r["category"] + "\x00" + _feature_id(r["name"], r["for"])
+        if fid in has_desc_key:
+            entry["descriptors"] = merged_descs.get(fid, [])
+        # scope merge: same (category, href) entries collapse into the
+        # first one with a sorted `for` array (cssmerge.js:330-356)
+        key = (r["category"], r["href"])
+        first = by_href.get(key)
+        if first is not None and r["href"] is not None:
+            if r["for"]:
+                first["for"].append(r["for"])
+                first["for"].sort()
+            continue
+        if r["for"]:
+            entry["for"] = [r["for"]]
+        by_href[key] = entry
+        out[r["category"]].append(entry)
+
+    for c in _REPORT_CATEGORIES:
+        out[c].sort(key=lambda f: _feature_id(f["name"], f.get("for")))
+    return out

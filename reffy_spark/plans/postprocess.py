@@ -1317,3 +1317,151 @@ def match_idl_dfns(
     return joined.groupBy(
         "spec", "root", "member", "dfn_type", "linking", "dfn_for"
     ).agg(F.min_by("_dhref", F.struct("_didx", "_dhref")).alias("href"))
+
+
+def backrefs_crawl(spark, results: list[dict]) -> dict[str, list[dict]]:
+    """Crawl-level backrefs reports, full reference fidelity
+    (src/postprocessing/backrefs.js run():22-108, tested by
+    test/generate-backrefs.js): per defining spec, the dfns referenced by
+    OTHER specs, dfn fields copied through, ``referencedBy`` carrying
+    {shortname, title, url} referrer records.
+
+    Ordering contract: terms in definition document order, referrers in
+    crawl order (Map insertion semantics); index collisions resolve
+    last-write-wins; self-references excluded. The match itself is the
+    relational alias-form equi-join of ``backrefs``; this wrapper adds
+    the order/meta columns and reassembles per-spec lists.
+
+    Returns {defining shortname: backrefs list} — specs without
+    externally referenced dfns are absent (the reference deletes the
+    property).
+    """
+    dfn_rows = []
+    link_rows = []
+    for spec_idx, spec in enumerate(results):
+        referrer_url = (
+            (spec.get("nightly") or {}).get("url")
+            or spec.get("crawled")
+            or spec.get("url")
+        )
+        for dfn_idx, dfn in enumerate(spec.get("dfns") or []):
+            dfn_rows.append(
+                {
+                    "def_shortname": spec.get("shortname"),
+                    "dfn_idx": spec_idx * 1_000_000 + dfn_idx,
+                    "id": dfn.get("id"),
+                    "href": dfn.get("href"),
+                    "linkingText": dfn.get("linkingText") or [],
+                    "type": dfn.get("type"),
+                    "for": dfn.get("for") or [],
+                    "access": dfn.get("access"),
+                }
+            )
+        links = spec.get("links") or {}
+        bases = list(
+            dict.fromkeys(
+                list((links.get("rawlinks") or {}))
+                + list((links.get("autolinks") or {}))
+            )
+        )
+        seen = set()
+        for base in bases:
+            anchors = list(
+                ((links.get("rawlinks") or {}).get(base) or {}).get("anchors")
+                or []
+            ) + list(
+                ((links.get("autolinks") or {}).get(base) or {}).get("anchors")
+                or []
+            )
+            for frag in anchors:
+                full = f"{base}#{frag}"
+                if full in seen:
+                    continue
+                seen.add(full)
+                link_rows.append(
+                    {
+                        "ref_idx": spec_idx,
+                        "ref_shortname": spec.get("shortname"),
+                        "ref_title": spec.get("title"),
+                        "ref_url": referrer_url,
+                        "link": full,
+                    }
+                )
+    if not dfn_rows or not link_rows:
+        return {}
+
+    dfns = spark.createDataFrame(
+        dfn_rows,
+        "def_shortname string, dfn_idx long, id string, href string, "
+        "linkingText array<string>, type string, for array<string>, "
+        "access string",
+    )
+    links_df = spark.createDataFrame(
+        link_rows,
+        "ref_idx int, ref_shortname string, ref_title string, "
+        "ref_url string, link string",
+    )
+    index = dfns.select(
+        "*", F.explode(_alias_forms(F.col("href"))).alias("key")
+    )
+    # Map.set last-write-wins per key (indexDfnHref)
+    w = Window.partitionBy("key").orderBy(F.col("dfn_idx").desc())
+    index = (
+        index.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    probe = links_df.select(
+        "*", F.posexplode(_alias_forms(F.col("link"))).alias("form_rank", "key")
+    )
+    matched = probe.join(F.broadcast(index), on="key", how="inner").filter(
+        F.col("ref_shortname") != F.col("def_shortname")
+    )
+    # first matching alternate form wins per (referrer, link)
+    w2 = Window.partitionBy("ref_shortname", "link").orderBy("form_rank")
+    matched = (
+        matched.withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    terms = (
+        matched.groupBy(
+            "def_shortname", "dfn_idx", "id", "href", "linkingText", "type",
+            "for", "access",
+        )
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.struct("ref_idx", "ref_shortname", "ref_title", "ref_url")
+                )
+            ).alias("_refs")
+        )
+        .collect()
+    )
+    out: dict[str, list[dict]] = {}
+    for r in sorted(terms, key=lambda r: r["dfn_idx"]):
+        seen_ref = set()
+        refs = []
+        for ref in r["_refs"]:  # sorted by ref_idx = crawl order
+            if ref["ref_shortname"] in seen_ref:
+                continue
+            seen_ref.add(ref["ref_shortname"])
+            refs.append(
+                {
+                    "shortname": ref["ref_shortname"],
+                    "title": ref["ref_title"],
+                    "url": ref["ref_url"],
+                }
+            )
+        out.setdefault(r["def_shortname"], []).append(
+            {
+                "id": r["id"],
+                "href": r["href"],
+                "linkingText": list(r["linkingText"]),
+                "type": r["type"],
+                "for": list(r["for"]),
+                "access": r["access"],
+                "referencedBy": refs,
+            }
+        )
+    return out
