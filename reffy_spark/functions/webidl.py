@@ -338,7 +338,14 @@ def parse_idl(idl: str) -> dict:
             members = _parse_members(p, deps)
             record_construct(
                 name,
-                {"type": "namespace", "name": name, "members": members, "partial": partial},
+                {
+                    "type": "namespace",
+                    "name": name,
+                    "inheritance": None,
+                    "members": members,
+                    "partial": partial,
+                    "extAttrs": [a["name"] for a in ext],
+                },
                 partial,
                 deps,
             )
@@ -360,6 +367,7 @@ def parse_idl(idl: str) -> dict:
                     "inheritance": inheritance,
                     "members": members,
                     "partial": partial,
+                    "extAttrs": [a["name"] for a in ext],
                 },
                 partial,
                 deps,
@@ -416,7 +424,19 @@ def parse_idl(idl: str) -> dict:
             all_deps.setdefault(target, set()).add(mixin)
             last_recorded.append(inc)
         else:
-            # unknown token: skip to next semicolon to stay in sync
+            # unknown token: record the first as a webidl2-style syntax
+            # error (the reference stores the throw message as the whole
+            # idlparsed value, src/postprocessing/idlparsed.js), then
+            # skip to the next semicolon to stay in sync
+            if "_syntaxError" not in report and frag_start >= 0:
+                line_no = idl.count("\n", 0, frag_start) + 1
+                line_start = idl.rfind("\n", 0, frag_start) + 1
+                line = idl.split("\n")[line_no - 1]
+                col = frag_start - line_start
+                report["_syntaxError"] = (
+                    f"WebIDLParseError: Syntax error at line {line_no}:\n"
+                    f"{line}\n{' ' * col}^ Unrecognised tokens"
+                )
             p.skip_until(";")
         # attach the construct's source slice (the reference's per-
         # construct `fragment`, src/postprocessing/idlparsed.js; idlnames

@@ -1465,3 +1465,117 @@ def backrefs_crawl(spark, results: list[dict]) -> dict[str, list[dict]]:
             }
         )
     return out
+
+
+def idlparsed_run(spec: dict) -> dict:
+    """Spec-level idlparsed post-processor, dict form
+    (src/postprocessing/idlparsed.js run():15-177, tested by
+    test/generate-idlparsed.js): parse the spec's raw IDL, store the
+    report under ``idlparsed`` (or the parse-error string when the IDL is
+    invalid), and attach dfn hrefs to constructs and members via the
+    candidate-name priority ladder (overload tag → variadic args → plain
+    args → bare ``name()``; >1 match at a rank → ambiguous → no href).
+
+    The distributed twin is ``idlparsed`` + ``idl_dfn_hrefs``; this
+    wrapper exists for per-spec consumers (markdown report, idlnames) and
+    reference-parity tests. Enum values are plain strings in our parsed
+    shape, so enum-value linking happens at the relational layer only.
+    """
+    from reffy_spark.functions.webidl import parse_idl
+
+    if not spec.get("idl"):
+        return spec
+    report = parse_idl(spec["idl"])
+    err = report.pop("_syntaxError", None)
+    if err is not None:
+        spec["idlparsed"] = err
+        return spec
+    spec["idlparsed"] = report
+
+    dfns = spec.get("dfns")
+    if not dfns:
+        return spec
+
+    def get_href(idl: dict, member: dict | None = None) -> str | None:
+        if member is not None:
+            special = member.get("special")
+            specials = special if isinstance(special, list) else [special]
+            if member.get("type") in (
+                "async_iterable", "iterable", "maplike", "setlike"
+            ) or any(
+                s in ("getter", "setter", "stringifier", "deleter")
+                for s in specials
+            ):
+                return None
+            if member["type"] == "operation":
+                dfn_type = "method"
+                same = [
+                    m
+                    for m in idl.get("members", [])
+                    if m.get("type") == member["type"]
+                    and m.get("name") == member.get("name")
+                ]
+                overload = next(
+                    (i for i, m in enumerate(same) if m is member), 0
+                )
+            elif member["type"] == "field":
+                dfn_type = "dict-member"
+                overload = 0
+            else:
+                dfn_type = member["type"]
+                overload = 0
+            dfn_name = member.get("name") or member.get("value")
+            if member["type"] == "constructor":
+                dfn_name = "constructor"
+            dfn_for = idl.get("name")
+        else:
+            dfn_type = idl["type"].split(" ")[0]
+            dfn_name = idl.get("name")
+            dfn_for = None
+            overload = 0
+
+        names = []
+        if dfn_type == "enum-value":
+            names = [dfn_name, f'"{dfn_name}"']
+        elif dfn_type in ("method", "constructor"):
+            args = [a["name"] for a in member.get("arguments") or []]
+            args_variadic = [
+                ("..." if a.get("variadic") else "") + a["name"]
+                for a in member.get("arguments") or []
+            ]
+            names = [
+                f"{dfn_name}!overload-{overload}({', '.join(args)})",
+                f"{dfn_name}({', '.join(args_variadic)})",
+                f"{dfn_name}({', '.join(args)})",
+                f"{dfn_name}()",
+            ]
+        else:
+            names = [dfn_name]
+
+        candidates = [
+            d
+            for d in dfns
+            if d.get("type") == dfn_type
+            and (dfn_for is None or dfn_for in (d.get("for") or []))
+        ]
+        for n in names:
+            hits = [d for d in candidates if n in (d.get("linkingText") or [])]
+            if hits:
+                return hits[0]["href"] if len(hits) == 1 else None
+        return None
+
+    for idl in report.get("idlNames", {}).values():
+        href = get_href(idl)
+        if href:
+            idl["href"] = href
+        for member in idl.get("members") or []:
+            mh = get_href(idl, member)
+            if mh:
+                member["href"] = mh
+    for exts in report.get("idlExtendedNames", {}).values():
+        for idl in exts:
+            for member in idl.get("members") or []:
+                mh = get_href(idl, member)
+                if mh:
+                    member["href"] = mh
+    return spec
