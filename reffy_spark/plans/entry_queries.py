@@ -140,7 +140,9 @@ def q_politeness_rank(spark, sf_dir):
         ],
         "host string, path_prefix string, allow boolean, crawl_delay_ms int",
     )
-    return FR.politeness_rank(pending, robots, round_ms=2000).select(
+    return FR.politeness_rank(
+        pending, robots, round_ms=2000, max_crawl_delay_ms=2000
+    ).select(
         "url_canon", "host_group", "priority", "depth", "host_fetch_rank"
     )
 
