@@ -1556,3 +1556,106 @@ EXT_ORACLES.update(
         "trim_spaces": ORACLE_TRIM_SPACES,
     }
 )
+
+
+# ===========================================================================
+# idlnames per-name dfns with dependency closure (idlnames.js options.dfns)
+# ===========================================================================
+
+
+def q_idlnames_dfns(spark, sf_dir):
+    """Per-name related dfns over the idlnames world: root interface dfns
+    everywhere, attribute dfns on even docs, partial-const dfns on docs
+    divisible by 6, mixin root dfns on docs divisible by 10 — each name's
+    set unions its transitive inheritance+includes deps' sets."""
+    extracts, _titles = _idlnames_world(spark, sf_dir)
+    parsed = PP.idlparsed(extracts)
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://idl.test/d", i, "/")
+    k = _s(F.col("doc_id") % 40)
+    root_dfns = d.select(
+        url.alias("url"), F.lit("interface").alias("type"),
+        F.array().cast("array<string>").alias("for"),
+        F.array(_cat("N", k)).alias("linkingText"),
+        _cat(url, "#n").alias("href"), F.lit(0).alias("dfn_idx"),
+    )
+    attr_dfns = d.filter(F.col("doc_id") % 2 == 0).select(
+        url.alias("url"), F.lit("attribute").alias("type"),
+        F.array(_cat("N", k)).alias("for"),
+        F.array(_cat("a", i)).alias("linkingText"),
+        _cat(url, "#a").alias("href"), F.lit(1).alias("dfn_idx"),
+    )
+    const_dfns = d.filter(F.col("doc_id") % 6 == 0).select(
+        url.alias("url"), F.lit("const").alias("type"),
+        F.array(_cat("N", _s((F.col("doc_id") + 1) % 40))).alias("for"),
+        F.array(_cat("c", i)).alias("linkingText"),
+        _cat(url, "#c").alias("href"), F.lit(2).alias("dfn_idx"),
+    )
+    mixin_dfns = d.filter(F.col("doc_id") % 10 == 0).select(
+        url.alias("url"), F.lit("interface").alias("type"),
+        F.array().cast("array<string>").alias("for"),
+        F.array(_cat("M", _s(F.col("doc_id") % 7))).alias("linkingText"),
+        _cat(url, "#m").alias("href"), F.lit(3).alias("dfn_idx"),
+    )
+    dfns = root_dfns.unionByName(attr_dfns).unionByName(const_dfns).unionByName(
+        mixin_dfns
+    )
+    return PP.idlnames_dfns(parsed, dfns).select("name", "spec", "href")
+
+
+ORACLE_IDLNAMES_DFNS = """
+    WITH RECURSIVE docs AS (
+      SELECT doc_id, doc_id % 40 AS k,
+             'https://idl.test/d' || doc_id || '/' AS url
+      FROM documents
+    ),
+    -- matched dfn rows per owning construct name
+    own AS (
+      -- root interface dfns: every doc defines N{k} (non-partial) and has
+      -- a root dfn
+      SELECT 'N' || k AS dep, url AS spec, url || '#n' AS href FROM docs
+      UNION ALL
+      -- attribute a{i} on even docs
+      SELECT 'N' || k, url, url || '#a' FROM docs WHERE doc_id % 2 = 0
+      UNION ALL
+      -- const c{i} members come from partials extending N{(i+1)%40}
+      -- (every 3rd doc); dfns exist on docs divisible by 6
+      SELECT 'N' || ((doc_id + 1) % 40), url, url || '#c'
+      FROM docs WHERE doc_id % 6 = 0
+      UNION ALL
+      -- mixin roots M{i%7} defined on docs divisible by 5; dfns on docs
+      -- divisible by 10
+      SELECT 'M' || (doc_id % 7), url, url || '#m'
+      FROM docs WHERE doc_id % 10 = 0
+    ),
+    names_idx AS (
+      SELECT DISTINCT 'N' || k AS name FROM docs
+      UNION SELECT DISTINCT 'M' || (doc_id % 7) FROM docs WHERE doc_id % 5 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT 'N' || k AS name, 'N' || (k - 1) AS dep
+      FROM docs WHERE k % 8 <> 0
+        AND ('N' || (k - 1)) IN (SELECT name FROM names_idx)
+      UNION
+      SELECT DISTINCT 'N' || ((doc_id + 2) % 40), 'M' || (doc_id % 7)
+      FROM docs WHERE doc_id % 5 = 0
+        AND ('M' || (doc_id % 7)) IN (SELECT name FROM names_idx)
+    ),
+    closure AS (
+      SELECT name, dep FROM edges
+      UNION
+      SELECT c.name, e.dep FROM closure c JOIN edges e ON c.dep = e.name
+    ),
+    reach AS (
+      SELECT name, name AS dep FROM names_idx
+      UNION
+      SELECT name, dep FROM closure WHERE name <> dep
+    )
+    SELECT DISTINCT r.name, o.spec, o.href
+    FROM reach r JOIN own o ON r.dep = o.dep
+"""
+
+
+EXT_QUERIES["idlnames_dfns"] = q_idlnames_dfns
+EXT_ORACLES["idlnames_dfns"] = ORACLE_IDLNAMES_DFNS

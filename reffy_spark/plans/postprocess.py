@@ -1579,3 +1579,41 @@ def idlparsed_run(spec: dict) -> dict:
                 if mh:
                     member["href"] = mh
     return spec
+
+
+def idlnames_dfns(
+    idlparsed_df: DataFrame,
+    dfns: DataFrame,
+    key: str = "url",
+    closure_rounds: int = 4,
+) -> DataFrame:
+    """Per-IDL-name related-definition sets with dependency closure — the
+    ``options.dfns`` path of the idlnames post-processor
+    (idlnames.js getRelatedDfns:44-88 + addDfns:316-356): every IDL name
+    collects the dfns matched for its own defining/extending fragments'
+    constructs and members, unioned with the dfn sets of every name it
+    transitively inherits from or includes.
+
+    Composition of the existing kernels: expected-dfn extraction
+    (check-missing-dfns getExpectedDfnFromIdlDesc — the same kernel the
+    reference calls from getRelatedDfns), matchIdlDfn as a relational
+    join, and the bounded-doubling dependency closure from
+    ``idlnames_fragments``. Returns distinct (name, spec, href) rows.
+    """
+    frag = idlnames_fragments(
+        idlparsed_df, None, key=key, closure_rounds=closure_rounds
+    ).select("name", "deps")
+    expected = expected_dfns_from_idl(idlparsed_df, key=key)
+    matched = match_idl_dfns(expected, dfns, key=key).filter(
+        F.col("href").isNotNull()
+    )
+    own = matched.select(F.col("root").alias("dep"), "spec", "href")
+    pairs = frag.select(
+        "name",
+        F.explode(F.concat(F.array(F.col("name")), F.col("deps"))).alias("dep"),
+    )
+    return (
+        pairs.join(own, on="dep", how="inner")
+        .select("name", "spec", "href")
+        .distinct()
+    )
