@@ -214,7 +214,14 @@ class CrawlEngine:
         frontier = FR.apply_robots(frontier, self.robots)
         seen = frontier.select("url_canon", F.lit(0).alias("first_round"))
         frontier = self._materialize(frontier, "frontier", 0)
-        seen = self._materialize(seen, "seen", 0)
+        # pure replay without a checkpoint never consumes the seen set
+        # (no discovery anti-join, no resume) — committing it would be a
+        # full frontier-sized write+read; keep it a cheap projection of
+        # the materialized frontier instead
+        if self.discover or self.checkpoint_dir:
+            seen = self._materialize(seen, "seen", 0)
+        else:
+            seen = frontier.select("url_canon", F.lit(0).alias("first_round"))
         return self._run_rounds(frontier, seen, start_round=1, max_rounds=max_rounds)
 
     def resume(self, max_rounds: int = 10) -> CrawlResult:
