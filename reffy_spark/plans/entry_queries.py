@@ -172,6 +172,47 @@ ORACLE_POLITENESS = """
 """
 
 
+def q_politeness_rank_replay(spark, sf_dir):
+    """Unbounded-budget (seed-list replay) politeness ranking: budgets
+    never prune, so the rank is the two-phase exact range rank — the
+    scale path the 10^10 replay executes (no whole-group single-task
+    sort). Same oracle shape as politeness_rank minus the budget cut."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    i = _s(F.col("doc_id"))
+    host = F.concat(F.lit("h"), _s(F.col("doc_id") % 5), F.lit(".test"))
+    pending = (
+        d.withColumn(
+            "url_canon", F.concat(F.lit("https://"), host, F.lit("/p-"), i, F.lit("/"))
+        )
+        .withColumn("host", host)
+        .withColumn("host_group", host_group_col(F.col("url_canon")))
+        .withColumn("priority", (F.col("doc_id") % 7).cast("double"))
+        .withColumn("depth", (F.col("doc_id") % 3).cast("int"))
+    )
+    robots = spark.createDataFrame(
+        [(f"h{k}.test", "/", True, 1) for k in range(5)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    return FR.politeness_rank(
+        pending, robots, round_ms=1_000_000_000, max_crawl_delay_ms=1
+    ).select("url_canon", "host_group", "priority", "depth", "host_fetch_rank")
+
+
+ORACLE_POLITENESS_REPLAY = """
+    SELECT url_canon, host_group, priority, depth,
+           CAST(ROW_NUMBER() OVER (PARTITION BY host_group
+                ORDER BY priority DESC, depth ASC, url_canon ASC) AS INT)
+             AS host_fetch_rank
+    FROM (
+      SELECT 'https://h' || (doc_id % 5) || '.test/p-' || doc_id || '/' AS url_canon,
+             'h' || (doc_id % 5) || '.test' AS host_group,
+             CAST(doc_id % 7 AS DOUBLE) AS priority,
+             CAST(doc_id % 3 AS INT) AS depth
+      FROM documents
+    )
+"""
+
+
 def q_backrefs(spark, sf_dir):
     """Flagship cross-spec backrefs join (J7) on an arithmetic link graph."""
     d = load(spark, sf_dir, "documents").select("doc_id")
@@ -771,6 +812,7 @@ QUERIES = {
     "url_canon": q_url_canon,
     "urlseen_antijoin": q_urlseen_antijoin,
     "politeness_rank": q_politeness_rank,
+    "politeness_rank_replay": q_politeness_rank_replay,
     "backrefs": q_backrefs,
     "events_rollup": q_events_rollup,
     "q1_pricing_summary": q1_pricing_summary,
@@ -795,6 +837,7 @@ ORACLES = {
     "url_canon": ORACLE_URL_CANON,
     "urlseen_antijoin": ORACLE_URLSEEN,
     "politeness_rank": ORACLE_POLITENESS,
+    "politeness_rank_replay": ORACLE_POLITENESS_REPLAY,
     "backrefs": ORACLE_BACKREFS,
     "events_rollup": ORACLE_EVENTS_ROLLUP,
     "q1_pricing_summary": ORACLE_Q1,
