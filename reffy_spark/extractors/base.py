@@ -50,12 +50,21 @@ CORE_MODULES = list(MODULES)
 class ExtractContext:
     """Per-page extraction context (one DOM parse, shared sub-stages)."""
 
-    def __init__(self, root: Element, url: str, spec: str | None = None):
+    def __init__(
+        self,
+        root: Element,
+        url: str,
+        spec: str | None = None,
+        last_modified=None,
+    ):
         self.root = root
         self.url = url
         # spec shortname, when known (a few extractors special-case specs
         # the way the reference passes `spec` into browserlib modules)
         self.spec = spec
+        # capture timestamp (warc_ts) — the HTTP Last-Modified analog the
+        # reference reads via document.lastModified (F11 fallback)
+        self.last_modified = last_modified
         # single page unless the fixture merged multipage sections
         self.single_page = root.query("[data-reffy-page]") is None
         self._id_to_heading: dict | None = None
@@ -85,10 +94,13 @@ def extract_page(
     url: str,
     modules: list[str] | None = None,
     spec: str | None = None,
+    last_modified=None,
 ) -> dict:
     """Run the requested modules over one page; returns {module: value}."""
     modules = modules or CORE_MODULES
-    ctx = ExtractContext(parse_html(html), url, spec=spec)
+    ctx = ExtractContext(
+        parse_html(html), url, spec=spec, last_modified=last_modified
+    )
     out = {}
     for name in modules:
         _needs, fn = MODULES[name]
@@ -102,6 +114,7 @@ def extract_all(
     url_col: str = "url",
     html_col: str = "html",
     passthrough: list[str] | None = None,
+    last_modified_col: str | None = None,
 ) -> DataFrame:
     """Distributed extraction: Arrow-batched, one parse per page.
 
@@ -109,6 +122,10 @@ def extract_all(
     Arrow stage — cheaper than a join-back shuffle for scalar metadata)
     plus one JSON-string column per module. Column pruning upstream is
     automatic; module gating is explicit (``--terse`` analog, SURVEY.md §4).
+
+    ``last_modified_col`` names a timestamp column (the pages table's
+    ``warc_ts``) fed to the ``date`` module's HTTP-Last-Modified fallback
+    (F11) — only read when given, so plans without it stay unchanged.
     """
     modules = modules or CORE_MODULES
     passthrough = [c for c in (passthrough or []) if c not in (url_col, html_col)]
@@ -124,8 +141,12 @@ def extract_all(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             extracted: dict[str, list] = {m: [] for m in modules}
-            for url, html in zip(b[url_col], b[html_col]):
-                res = extract_page(html, url, modules)
+            lm_series = b[last_modified_col] if last_modified_col else None
+            for i, (url, html) in enumerate(zip(b[url_col], b[html_col])):
+                lm = lm_series.iloc[i] if lm_series is not None else None
+                if lm is not None and pd.isna(lm):
+                    lm = None
+                res = extract_page(html, url, modules, last_modified=lm)
                 for m in modules:
                     extracted[m].append(
                         json.dumps(res[m], ensure_ascii=False, sort_keys=False)
@@ -138,4 +159,6 @@ def extract_all(
             yield out
 
     cols = [url_col, html_col] + passthrough
+    if last_modified_col and last_modified_col not in cols:
+        cols.append(last_modified_col)
     return pages.select(*cols).mapInPandas(run, schema)

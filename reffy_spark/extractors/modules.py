@@ -217,10 +217,18 @@ def get_generator(ctx) -> str | None:
     return None
 
 
+_MONTHS = (
+    "January February March April May June July August September "
+    "October November December"
+).split()
+
+
 def get_date(ctx) -> str | None:
-    """get-lastmodified-date.mjs:1-14; the document.lastModified fallback
-    is not reachable for static fixtures (no HTTP date), so returns None
-    when the page carries no date markup."""
+    """get-lastmodified-date.mjs:1-14. The document.lastModified fallback
+    (browsers derive it from the HTTP Last-Modified header) maps to the
+    pages table's capture timestamp here: when the context carries a
+    ``last_modified`` (warc_ts), a date-less page reports it in the same
+    en-US '{day} {Month} {year}' shape the reference produces."""
     date_el = ctx.root.query(".head time")
     if date_el is not None:
         return date_el.text.strip()
@@ -228,6 +236,16 @@ def get_date(ctx) -> str | None:
     status = " ".join(h.text for h in h2s).strip()
     if status:
         return " ".join(status.split()[-3:])
+    lm = getattr(ctx, "last_modified", None)
+    if lm is not None:
+        import datetime
+
+        if isinstance(lm, str):
+            try:
+                lm = datetime.datetime.fromisoformat(lm)
+            except ValueError:
+                return None
+        return f"{lm.day} {_MONTHS[lm.month - 1]} {lm.year}"
     return None
 
 

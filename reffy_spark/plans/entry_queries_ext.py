@@ -1659,3 +1659,45 @@ ORACLE_IDLNAMES_DFNS = """
 
 EXT_QUERIES["idlnames_dfns"] = q_idlnames_dfns
 EXT_ORACLES["idlnames_dfns"] = ORACLE_IDLNAMES_DFNS
+
+
+# ===========================================================================
+# F11 date fallback: warc_ts as the HTTP Last-Modified analog
+# ===========================================================================
+
+
+def q_date_fallback(spark, sf_dir):
+    """Pages without date markup report their capture timestamp in the
+    reference's document.lastModified '{day} {Month} {year}' shape."""
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://dt.test/d", i, "/")
+    html = _cat("<title>T", i, "</title><p>no date markup</p>")
+    warc = F.to_timestamp(
+        F.concat(
+            F.lit("2024-"),
+            F.lpad(_s(F.col("doc_id") % 12 + 1), 2, "0"),
+            F.lit("-"),
+            F.lpad(_s(F.col("doc_id") % 28 + 1), 2, "0"),
+        )
+    )
+    pages = d.select("doc_id", url.alias("url"), html.alias("html"), warc.alias("warc_ts"))
+    out = extract_all(pages, ["date"], last_modified_col="warc_ts")
+    return out.select("url", _json_str("date").alias("date"))
+
+
+ORACLE_DATE_FALLBACK = """
+    SELECT 'https://dt.test/d' || doc_id || '/' AS url,
+           (doc_id % 28 + 1) || ' ' ||
+           CASE (doc_id % 12 + 1)
+             WHEN 1 THEN 'January' WHEN 2 THEN 'February' WHEN 3 THEN 'March'
+             WHEN 4 THEN 'April' WHEN 5 THEN 'May' WHEN 6 THEN 'June'
+             WHEN 7 THEN 'July' WHEN 8 THEN 'August' WHEN 9 THEN 'September'
+             WHEN 10 THEN 'October' WHEN 11 THEN 'November' ELSE 'December'
+           END || ' 2024' AS date
+    FROM documents
+"""
+
+
+EXT_QUERIES["date_fallback"] = q_date_fallback
+EXT_ORACLES["date_fallback"] = ORACLE_DATE_FALLBACK
