@@ -207,3 +207,36 @@ def test_bloom_build_is_distributed(spark):
         for r in seen.limit(100).select(F.xxhash64("url_canon").alias("h")).collect()
     ]
     assert bloom.might_contain(np.array(hashes)).all()
+
+
+def test_match_idl_dfns_is_equi_join(spark):
+    # the matchIdlDfn join must hash on (spec, dfn_type) with the array
+    # predicates as post-filters — never a nested-loop over all dfns
+    from reffy_spark.plans import postprocess as PP
+
+    expected = spark.createDataFrame(
+        [("u", "Foo", "x", "attribute", ["x"], ["Foo"])],
+        "spec string, root string, member string, dfn_type string, "
+        "linking array<string>, dfn_for array<string>",
+    )
+    dfns = spark.createDataFrame(
+        [("u", "attribute", ["Foo"], ["x"], "#x", 0)],
+        "url string, type string, for array<string>, "
+        "linkingText array<string>, href string, dfn_idx int",
+    )
+    plan = plan_of(PP.match_idl_dfns(expected, dfns))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_idlnames_closure_no_nested_loop(spark):
+    from reffy_spark.plans import postprocess as PP
+
+    ex = spark.createDataFrame(
+        [("u1", "interface A : B {};\ninterface B {};\nA includes M;"
+          "\ninterface mixin M {};")],
+        "url string, idl string",
+    )
+    plan = plan_of(PP.idlnames_fragments(PP.idlparsed(ex)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
