@@ -268,6 +268,10 @@ class CrawlEngine:
     ) -> CrawlResult:
         all_results: list[DataFrame] = list(prior or [])
         metrics: list[RoundMetrics] = []
+        # exact seen-set cardinality, carried across rounds so bloom
+        # sizing never fires a per-round count() job: one count at loop
+        # start, then += the new_urls count already computed for metrics
+        seen_count: int | None = None
         # round-state plans whose commit was deferred to the next round
         # (ephemeral modes only — see the commit block at the loop bottom)
         deferred: list[tuple[str, str, int]] = []
@@ -375,15 +379,27 @@ class CrawlEngine:
                 if self.use_bloom or self.collect_metrics:
                     cand = self._materialize(cand, "candidates", rnd)
 
-                bloom = FR.build_bloom(seen) if self.use_bloom else None
+                if self.use_bloom:
+                    if seen_count is None:
+                        seen_count = seen.count()
+                    bloom = FR.build_bloom(seen, n_items=seen_count)
+                else:
+                    bloom = None
                 # new_urls feeds BOTH the frontier merge and the seen-set
                 # update
                 new_urls = self._materialize(
                     FR.filter_unseen(cand, seen, bloom=bloom), "new_urls", rnd
                 )
+                if self.use_bloom or self.collect_metrics:
+                    n_new = new_urls.count()
+                    if seen_count is not None:
+                        seen_count += n_new
+                else:
+                    n_new = None
             else:
                 cand = None
                 new_urls = None
+                n_new = None
 
             # ---- commit round: update frontier + seen -------------------
             # With a checkpoint_dir the commit happens NOW (durability and
@@ -430,7 +446,7 @@ class CrawlEngine:
                     fetched=int(status_row["ok"] or 0),
                     errors=int(status_row["err"] or 0),
                     discovered=cand.count() if cand is not None else 0,
-                    new_urls=new_urls.count() if new_urls is not None else 0,
+                    new_urls=n_new if n_new is not None else 0,
                     per_host_group=per_hg,
                     wall_sec=time.monotonic() - t0,
                 )

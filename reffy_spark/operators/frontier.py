@@ -32,6 +32,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
+from pyspark.storagelevel import StorageLevel
+
+# previous _exact_group_rank cache, unpersisted on the next call (one
+# live slim cache per crawl loop instead of one per round)
+_prev_rank_cache: DataFrame | None = None
 
 from reffy_spark.functions.urls import host_col, host_group_col, with_url_canon
 
@@ -81,18 +86,28 @@ class Bloom:
         return out
 
 
-def build_bloom(seen: DataFrame, key: str = "url_canon", fpp: float = 0.01) -> Bloom | None:
+def build_bloom(
+    seen: DataFrame,
+    key: str = "url_canon",
+    fpp: float = 0.01,
+    n_items: int | None = None,
+) -> Bloom | None:
     """Build the URL-seen bloom DISTRIBUTED: every partition folds its
     xxhash64 values into a local bitmap (Arrow-batched, numpy-vectorized),
     bitmaps are OR-merged executor-side via treeReduce, and only the final
     bitmap reaches the driver. No ``toPandas`` of raw hashes.
+
+    ``n_items`` sizes the bitmap; pass it when the caller already knows
+    the seen-set cardinality (the crawl loop tracks it exactly:
+    prev_count + new_urls count, both computed for round metrics) so the
+    build never fires a ``count()`` job of its own.
 
     Above ``BLOOM_MAX_ITEMS`` the bitmap itself (not the build) is the
     limit — a ~12 GB bitmap cannot be broadcast — so we fall back to the
     plain anti-join; at true 10^10 scale the bloom would be maintained
     per hash-partition alongside the bucketed seen table.
     """
-    n = seen.count()
+    n = seen.count() if n_items is None else n_items
     if n > BLOOM_MAX_ITEMS or n == 0:
         return None
     proto = Bloom(n, fpp)
@@ -283,21 +298,32 @@ def _exact_group_rank(
     spark = df.sparkSession
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    # Rank over ONLY the order-key columns. This is load-bearing twice:
-    # (1) correctness — the offsets branch and the rank branch below must
-    # see the SAME partition boundaries, which Spark guarantees via
-    # ReuseExchange only when the two range-exchange subtrees are
-    # byte-identical after optimization; with exactly the 4 range-key
-    # columns there is nothing for column pruning to remove under either
-    # branch, so the exchange is provably reused (a full-width frame gets
-    # pruned differently per branch, the sampler re-runs with a different
-    # row order, and the two branches disagree on boundaries — observed
-    # as off-by-N ranks). (2) scale — the double shuffle (range + window
-    # hash) carries 4 slim columns, not the whole frontier payload.
+    # Rank over ONLY the order-key columns: the double shuffle (range +
+    # window hash) carries 4 slim columns, not the whole frontier payload.
     key_cols = ["host_group", "priority", "depth", "url_canon"]
     slim = df.select(*key_cols)
     ranged = slim.repartitionByRange(num_parts, F.col("host_group"), *order)
-    part = ranged.withColumn("_pid", F.spark_partition_id())
+    # Bake the range-partition id INTO THE DATA under a single
+    # materialization (persist): the offsets branch and the rank branch
+    # below then read identical (row, _pid) pairs from the cache instead
+    # of each re-running the range exchange. Without this the two logical
+    # branches only agree on partition boundaries if Catalyst's
+    # ReuseExchange fires (byte-identical subtrees after optimization) —
+    # an optimizer internal that column-pruning drift across Spark
+    # versions could silently break, desyncing boundaries into off-by-N
+    # ranks. persist (not localCheckpoint) keeps lineage, so executor
+    # loss recomputes from the already-written shuffle files with the
+    # same boundaries. The cache is slim (4 key columns + an int).
+    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    global _prev_rank_cache
+    if _prev_rank_cache is not None:
+        try:
+            _prev_rank_cache.unpersist(blocking=False)
+        except Exception:
+            pass
+    _prev_rank_cache = part
     counts = part.groupBy("host_group", "_pid").agg(F.count(F.lit(1)).alias("_c"))
     # running count of earlier partitions' rows per group; the window
     # input is the tiny counts table (≤ num_parts rows per group), not

@@ -240,3 +240,51 @@ def test_idlnames_closure_no_nested_loop(spark):
     plan = plan_of(PP.idlnames_fragments(PP.idlparsed(ex)))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_politeness_rank_unbounded_survives_no_exchange_reuse(spark):
+    # the two-phase rank must NOT depend on Catalyst's ReuseExchange
+    # firing: _pid is baked into a cached ranged frame, so the offsets
+    # branch and the rank branch read identical (row, _pid) pairs even
+    # when exchange reuse is disabled outright
+    from pyspark.sql import Window
+
+    from reffy_spark.operators import frontier as FR
+
+    pending, robots = _unbounded_politeness_world(spark)
+    old = spark.conf.get("spark.sql.exchange.reuse", "true")
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    try:
+        got = (
+            FR.politeness_rank(
+                pending, robots, round_ms=1_000_000_000, max_crawl_delay_ms=1
+            )
+            .select("url_canon", "host_fetch_rank")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.exchange.reuse", old)
+    w = Window.partitionBy("host_group").orderBy(
+        F.col("priority").desc(), F.col("depth").asc(), F.col("url_canon").asc()
+    )
+    want = (
+        pending.withColumn("host_fetch_rank", F.row_number().over(w))
+        .select("url_canon", "host_fetch_rank")
+        .collect()
+    )
+    assert sorted(got) == sorted(want)
+
+
+def test_build_bloom_with_known_count_runs_no_count_job(spark):
+    # passing n_items must produce an identically-sized bloom with the
+    # same membership answers as the self-counting build
+    import numpy as np
+
+    from reffy_spark.operators.frontier import build_bloom
+
+    seen = spark.range(0, 2000).selectExpr("concat('https://h/', id) AS url_canon")
+    b1 = build_bloom(seen)
+    b2 = build_bloom(seen, n_items=2000)
+    assert (b1.m, b1.k) == (b2.m, b2.k)
+    assert np.array_equal(b1.bits, b2.bits)
+    assert build_bloom(seen, n_items=0) is None
