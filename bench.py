@@ -57,6 +57,41 @@ def _count_rows(df) -> int:
     return df.count()
 
 
+MP_CANARY_MODS = ["links", "headings", "ids", "dfns", "title"]
+
+
+def _mp_work(args):
+    urls, htmls = args
+    from reffy_spark.extractors.base import extract_page
+
+    for u, h in zip(urls, htmls):
+        extract_page(h, u, MP_CANARY_MODS)
+    return len(urls)
+
+
+def raw_mp_canary(n_pages: int = 4000, workers: int = 8) -> float:
+    """Raw-Python extraction throughput (pages/s) on this host RIGHT NOW:
+    the same 5-module extraction as the scaling job, through a plain
+    multiprocessing pool — no Spark. Host throughput drifts ±25% between
+    hours on this sandbox; this canary (plus the pure-JVM q1 canary)
+    makes round-over-round bench deltas attributable to code, not drift.
+    """
+    import multiprocessing as mp
+
+    from reffy_spark.sources.synthetic import page_html, url_of_page
+
+    pairs = [(url_of_page(i), page_html(i, n_pages)) for i in range(n_pages)]
+    step = 500
+    chunks = [
+        ([u for u, _ in pairs[i : i + step]], [h for _, h in pairs[i : i + step]])
+        for i in range(0, n_pages, step)
+    ]
+    t0 = time.monotonic()
+    with mp.Pool(workers) as pool:
+        total = sum(pool.map(_mp_work, chunks, chunksize=1))
+    return round(total / (time.monotonic() - t0), 1)
+
+
 def run_suite() -> dict:
     from reffy_spark.plans import entry_queries as EQ
     from reffy_spark.session import get_spark
@@ -219,7 +254,18 @@ def run_scaling() -> dict:
 
 
 def main() -> None:
+    mp_pps = raw_mp_canary()
     suite = run_suite()
+    # drift normalization: q1 is a fixed pure-JVM plan (codegen agg over
+    # parquet, zero Python) — its round-over-round movement measures the
+    # HOST, not the code. A query whose sec/canary ratio is flat across
+    # rounds did not regress even if its raw seconds moved.
+    canary = suite["timings"].get("q1_pricing_summary") or None
+    normalized = (
+        {k: round(v / canary, 2) for k, v in suite["timings"].items()}
+        if canary
+        else None
+    )
     result = {
         "metric": "reffy_spark headline suite + crawl replay (URLs fetched+extracted)",
         "value": round(sum(suite["timings"].values()), 3),
@@ -228,6 +274,9 @@ def main() -> None:
         "sf": SF_DIR,
         "urls_per_sec": suite["urls_per_sec"],
         "n_urls": suite["n_urls"],
+        "canary_sec": canary,
+        "normalized": normalized,
+        "raw_mp_pages_per_sec": mp_pps,
     }
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         result["scaling"] = run_scaling()

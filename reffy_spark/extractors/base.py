@@ -89,18 +89,43 @@ class ExtractContext:
         return self._id_index
 
 
+def detect_crawl_error(ctx: ExtractContext) -> str | None:
+    """Page-level failure sniffs run BEFORE extraction.
+
+    Mirrors the reference's draft-CSS-server hiccup check
+    (/root/reference/src/lib/util.js:597-602, tested at test/crawl.js:178):
+    a page whose first ``h1`` reads "Index of …" is a directory listing
+    the drafts server emits when it hiccups, not a spec — the reference
+    throws and the crawl records an error result instead of a bogus
+    extract."""
+    h1 = ctx.root.query("h1")
+    title = (h1.text or "").replace("\n", "").strip() if h1 is not None else ""
+    if title.startswith("Index of "):
+        return "CSS server issue detected"
+    return None
+
+
 def extract_page(
     html: str | bytes,
     url: str,
     modules: list[str] | None = None,
     spec: str | None = None,
     last_modified=None,
+    with_error: bool = False,
 ) -> dict:
-    """Run the requested modules over one page; returns {module: value}."""
+    """Run the requested modules over one page; returns {module: value}.
+
+    ``with_error=True`` runs the page-level failure sniffs first; on a
+    detected failure the result is ``{"_crawl_error": message}`` and no
+    module runs (the reference throws before extraction)."""
     modules = modules or CORE_MODULES
     ctx = ExtractContext(
         parse_html(html), url, spec=spec, last_modified=last_modified
     )
+    if with_error:
+        err = detect_crawl_error(ctx)
+        if err is not None:
+            return {"_crawl_error": err}
     out = {}
     for name in modules:
         _needs, fn = MODULES[name]
@@ -115,6 +140,7 @@ def extract_all(
     html_col: str = "html",
     passthrough: list[str] | None = None,
     last_modified_col: str | None = None,
+    error_col: str | None = None,
 ) -> DataFrame:
     """Distributed extraction: Arrow-batched, one parse per page.
 
@@ -126,6 +152,12 @@ def extract_all(
     ``last_modified_col`` names a timestamp column (the pages table's
     ``warc_ts``) fed to the ``date`` module's HTTP-Last-Modified fallback
     (F11) — only read when given, so plans without it stay unchanged.
+
+    ``error_col`` enables the page-level failure sniffs
+    (``detect_crawl_error``): the output gains a string column holding
+    the error message (null when the page is fine); module columns are
+    null on failed pages (no module runs — the reference throws before
+    extraction, util.js:597-602).
     """
     modules = modules or CORE_MODULES
     passthrough = [c for c in (passthrough or []) if c not in (url_col, html_col)]
@@ -137,25 +169,37 @@ def extract_all(
     schema = f"{url_col} string" + pt_ddl + ", " + ", ".join(
         f"{m} string" for m in modules
     )
+    if error_col:
+        schema += f", {error_col} string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             extracted: dict[str, list] = {m: [] for m in modules}
+            errors: list = []
             lm_series = b[last_modified_col] if last_modified_col else None
             for i, (url, html) in enumerate(zip(b[url_col], b[html_col])):
                 lm = lm_series.iloc[i] if lm_series is not None else None
                 if lm is not None and pd.isna(lm):
                     lm = None
-                res = extract_page(html, url, modules, last_modified=lm)
+                res = extract_page(
+                    html, url, modules, last_modified=lm,
+                    with_error=bool(error_col),
+                )
+                err = res.get("_crawl_error")
+                errors.append(err)
                 for m in modules:
                     extracted[m].append(
-                        json.dumps(res[m], ensure_ascii=False, sort_keys=False)
+                        None
+                        if err is not None
+                        else json.dumps(res[m], ensure_ascii=False, sort_keys=False)
                     )
             out = pd.DataFrame({url_col: b[url_col].values})
             for c in passthrough:
                 out[c] = b[c].values
             for m in modules:
                 out[m] = extracted[m]
+            if error_col:
+                out[error_col] = errors
             yield out
 
     cols = [url_col, html_col] + passthrough

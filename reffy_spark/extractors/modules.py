@@ -201,17 +201,29 @@ def _document_title(ctx) -> str:
     return normalize(title.text) if title is not None else ""
 
 
+_RESPEC_CONFIG_RE = re.compile(r"\brespecConfig\s*=")
+
+
 def get_generator(ctx) -> str | None:
-    """get-generator.mjs:13-27 (static heuristics only: no window.eval —
-    respecConfig-global sniffing needs a live page; parity caveat in
-    SURVEY.md §7.3)."""
+    """get-generator.mjs:13-27. The live-page sniffs
+    (``window.respecConfig`` / ``window.eval('typeof respecConfig …')``,
+    get-generator.mjs:20-21) are approximated statically: an inline
+    ``<script>`` assigning ``respecConfig`` — the standard ReSpec
+    authoring shape that creates that global — counts as ReSpec. Only a
+    page that builds the config indirectly (computed global, external
+    loader) still needs a live browser; parity caveat in SURVEY.md §7.3."""
     meta = ctx.root.query("meta[name=generator]")
     content = meta.get("content", "") if meta is not None else ""
     if meta is not None and re.search(r"bikeshed", content, re.I):
         return "bikeshed"
     body = ctx.root.query("body")
-    if (meta is not None and re.search(r"respec", content, re.I)) or (
-        body is not None and body.id == "respecDocument"
+    if (
+        (meta is not None and re.search(r"respec", content, re.I))
+        or (body is not None and body.id == "respecDocument")
+        or any(
+            not s.get("src") and _RESPEC_CONFIG_RE.search(s.text or "")
+            for s in ctx.root.query_all("script")
+        )
     ):
         return "respec"
     return None

@@ -73,14 +73,13 @@ def freshest_capture(pages_canon: DataFrame) -> DataFrame:
     order_cols = [
         c for c in ("warc_ts", "page_url") if c in pages_canon.columns
     ]
+    keep = ["page_url", "html"] + (
+        ["warc_ts"] if "warc_ts" in pages_canon.columns else []
+    )
     return (
         pages_canon.groupBy("url_canon")
-        .agg(
-            F.max_by(F.struct("page_url", "html"), F.struct(*order_cols)).alias(
-                "_best"
-            )
-        )
-        .select("url_canon", "_best.page_url", "_best.html")
+        .agg(F.max_by(F.struct(*keep), F.struct(*order_cols)).alias("_best"))
+        .select("url_canon", *[F.col(f"_best.{c}").alias(c) for c in keep])
     )
 
 
@@ -100,7 +99,10 @@ def fetch_with_fallback(
     relation for a join that usually matches nothing.
     """
     batch_b = F.broadcast(batch_slim) if broadcast_batch else batch_slim
-    fetched_ok = pages.select("url_canon", "html").join(
+    fetch_cols = ["url_canon", "html"] + (
+        ["warc_ts"] if "warc_ts" in pages.columns else []
+    )
+    fetched_ok = pages.select(*fetch_cols).join(
         batch_b, on="url_canon", how="inner"
     )
     notfound = (
@@ -167,8 +169,11 @@ class CrawlEngine:
         # pages table bucketed by url_canon so the per-round fetch join is
         # shuffle-free on the pages side.
         pc = with_url_canon(pages).withColumnRenamed("url", "page_url")
+        page_cols = ["url_canon", "page_url", "html"] + (
+            ["warc_ts"] if "warc_ts" in pc.columns else []
+        )
         if assume_canonical_unique:
-            self.pages = pc.select("url_canon", "page_url", "html")
+            self.pages = pc.select(*page_cols)
         else:
             self.pages = freshest_capture(pc)
         self.broadcast_batch = broadcast_batch
@@ -338,20 +343,48 @@ class CrawlEngine:
             # JSON; string metadata (host, host_group) is re-derived from
             # url_canon JVM-side instead (string columns through Arrow
             # measured ~40% of the whole extraction stage).
+            # crawlCacheInfo analog (specs-crawler.js:87-98,144-152):
+            # etag = content digest, last_modified = capture timestamp.
+            # etag is computed JVM-side BEFORE extraction (html does not
+            # survive the Arrow stage) and rides through as a 32-char
+            # passthrough; warc_ts doubles as the date module's
+            # HTTP-Last-Modified fallback (F11).
+            has_ts = "warc_ts" in fetched_ok.columns
+            fetched_ok = fetched_ok.withColumn(
+                "etag", F.md5(F.col("html").cast("binary"))
+            )
+            cache_cols = ["etag"] + (["warc_ts"] if has_ts else [])
             extracts = (
                 extract_all(
                     fetched_ok,
                     self.modules,
                     url_col="url_canon",
                     html_col="html",
-                    passthrough=meta_cols,
+                    passthrough=meta_cols + cache_cols,
+                    last_modified_col="warc_ts" if has_ts else None,
+                    error_col="crawl_error",
                 )
                 .withColumn("host", host_col(F.col("url_canon")))
                 .withColumn("host_group", host_group_col(F.col("url_canon")))
-                .withColumn("status", F.lit("ok"))
+                .withColumn(
+                    "status",
+                    F.when(F.col("crawl_error").isNotNull(), F.lit("error"))
+                    .otherwise(F.lit("ok")),
+                )
             )
+            if has_ts:
+                extracts = extracts.withColumnRenamed("warc_ts", "last_modified")
+            else:
+                extracts = extracts.withColumn(
+                    "last_modified", F.lit(None).cast("timestamp")
+                )
             for m in self.modules:
                 notfound = notfound.withColumn(m, F.lit(None).cast("string"))
+            notfound = (
+                notfound.withColumn("etag", F.lit(None).cast("string"))
+                .withColumn("last_modified", F.lit(None).cast("timestamp"))
+                .withColumn("crawl_error", F.lit(None).cast("string"))
+            )
             round_results = (
                 extracts.unionByName(notfound.select(*extracts.columns))
                 .withColumn("round", F.lit(rnd))

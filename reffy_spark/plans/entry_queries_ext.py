@@ -1456,16 +1456,26 @@ def q_cache_info(spark, sf_dir):
         _cat("h", i).cast("binary").alias("html"),
     )
     out = freshest_capture(pages)
+    # crawlCacheInfo analog (specs-crawler.js:87-98): etag = content
+    # digest, last_modified = the winning capture's timestamp
     return out.select(
-        "url_canon", "page_url", F.col("html").cast("string").alias("html_str")
+        "url_canon",
+        "page_url",
+        F.col("html").cast("string").alias("html_str"),
+        F.md5(F.col("html")).alias("etag"),
+        _s(F.col("warc_ts")).alias("last_modified"),
     )
 
 
 ORACLE_CACHE_INFO = """
-    SELECT url_canon, page_url, html_str FROM (
+    SELECT url_canon, page_url, html_str, md5(html_str) AS etag,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_modified
+    FROM (
       SELECT 'https://cache.test/p' || (doc_id % 100) || '/' AS url_canon,
              'https://cache.test/p' || (doc_id % 100) || '/v' || doc_id AS page_url,
              'h' || doc_id AS html_str,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + (doc_id % 7) * INTERVAL 1 HOUR AS ts,
              ROW_NUMBER() OVER (
                PARTITION BY doc_id % 100
                ORDER BY doc_id % 7 DESC,
@@ -1701,3 +1711,104 @@ ORACLE_DATE_FALLBACK = """
 
 EXT_QUERIES["date_fallback"] = q_date_fallback
 EXT_ORACLES["date_fallback"] = ORACLE_DATE_FALLBACK
+
+
+def q_css_hiccup(spark, sf_dir):
+    """CSS-server-hiccup detection (util.js:597-602): a page whose first
+    h1 reads "Index of …" is a drafts-server directory listing, not a
+    spec — extraction records an error result instead of a bogus
+    extract. Every 7th doc is a hiccup page."""
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://drafts.test/s", i, "/")
+    html = F.when(
+        F.col("doc_id") % 7 == 0,
+        _cat(
+            "<html><body><h1>Index of /s", i,
+            "/</h1><pre>../  spec.html</pre></body></html>",
+        ),
+    ).otherwise(
+        _cat(
+            "<html><head><title>T", i, "</title></head><body><h1>T", i,
+            "</h1></body></html>",
+        )
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    out = extract_all(pages, ["title"], error_col="crawl_error")
+    return out.select(
+        "url",
+        F.col("title").alias("title_json"),
+        "crawl_error",
+        F.when(F.col("crawl_error").isNotNull(), F.lit("error"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
+ORACLE_CSS_HICCUP = """
+    SELECT 'https://drafts.test/s' || doc_id || '/' AS url,
+           CASE WHEN doc_id % 7 <> 0 THEN '"T' || doc_id || '"' END AS title_json,
+           CASE WHEN doc_id % 7 = 0 THEN 'CSS server issue detected' END
+             AS crawl_error,
+           CASE WHEN doc_id % 7 = 0 THEN 'error' ELSE 'ok' END AS status
+    FROM documents
+"""
+
+
+def q_generator_sniff(spark, sf_dir):
+    """F13 generator detection, incl. the static respecConfig sniff
+    (get-generator.mjs:13-27; the window.eval live-page check is
+    approximated by scanning inline <script> text for a respecConfig
+    assignment)."""
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://gen.test/s", i, "/")
+    body = _cat("<body><h1>S", i, "</h1></body>")
+    html = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            _cat(
+                "<html><head><script>var respecConfig = {specStatus: \"ED\", n: ",
+                i, "};</script></head>", body, "</html>",
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            _cat(
+                '<html><head><meta name="generator" content="Bikeshed 1.0">',
+                "</head>", body, "</html>",
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            _cat('<html><body id="respecDocument"><h1>S', i, "</h1></body></html>"),
+        )
+        .otherwise(_cat("<html>", body, "</html>"))
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    out = extract_all(pages, ["generator"])
+    return out.select("url", _json_str("generator").alias("generator"))
+
+
+ORACLE_GENERATOR_SNIFF = """
+    SELECT 'https://gen.test/s' || doc_id || '/' AS url,
+           CASE WHEN doc_id % 4 = 0 THEN 'respec'
+                WHEN doc_id % 4 = 1 THEN 'bikeshed'
+                WHEN doc_id % 4 = 2 THEN 'respec'
+           END AS generator
+    FROM documents
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "css_hiccup": q_css_hiccup,
+        "generator_sniff": q_generator_sniff,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "css_hiccup": ORACLE_CSS_HICCUP,
+        "generator_sniff": ORACLE_GENERATOR_SNIFF,
+    }
+)

@@ -138,3 +138,100 @@ def test_round_metrics_lineage(engine_result):
     for m in ms:
         assert m.selected == m.fetched + m.errors
         assert sum(m.per_host_group.values()) == m.selected
+
+
+def test_css_hiccup_page_yields_error_result(spark):
+    # util.js:597-602 / test/crawl.js:178: a drafts-server directory
+    # listing ("Index of …" h1) must produce an error result, not a
+    # bogus extract
+    hiccup_html = (
+        b"<html><body><h1>Index of /css-sizing/</h1>"
+        b"<pre>../  Overview.html</pre></body></html>"
+    )
+    ok_html = (
+        b'<html><head><title>Good Spec</title></head>'
+        b'<body><h1>Good Spec</h1><p><a href="https://w.test/x/">x</a></p>'
+        b"</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("https://drafts.test/hiccup/", hiccup_html),
+            ("https://drafts.test/good/", ok_html),
+        ],
+        "url string, html binary",
+    )
+    robots = spark.createDataFrame(
+        [("drafts.test", "/", True, 10)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    eng = CrawlEngine(
+        spark, pages, robots, modules=["links", "title"],
+        use_bloom=False, collect_metrics=True, discover=False,
+    )
+    res = eng.crawl(pages.select("url"), max_rounds=1)
+    rows = {r["url_canon"]: r for r in res.results.collect()}
+    bad = rows["https://drafts.test/hiccup/"]
+    good = rows["https://drafts.test/good/"]
+    assert bad["status"] == "error"
+    assert bad["crawl_error"] == "CSS server issue detected"
+    assert bad["title"] is None and bad["links"] is None
+    assert good["status"] == "ok"
+    assert good["crawl_error"] is None
+    assert "Good Spec" in good["title"]
+    # hiccups count as errors in the round metrics
+    assert res.metrics[0].errors == 1 and res.metrics[0].fetched == 1
+
+
+def test_results_carry_crawl_cache_info(engine_result, corpus):
+    # crawlCacheInfo analog (specs-crawler.js:87-98): every ok result
+    # carries etag (content digest) + last_modified (capture timestamp)
+    import hashlib
+
+    pages, _, _ = corpus
+    by_canon = {}
+    from reffy_spark.functions.urls import url_canon_py
+
+    for r in pages.collect():
+        c = url_canon_py(r["url"])
+        prev = by_canon.get(c)
+        if prev is None or (r["warc_ts"], r["url"]) > (prev[0], prev[2]):
+            by_canon[c] = (r["warc_ts"], bytes(r["html"]), r["url"])
+    ok = engine_result.results.filter(F.col("status") == "ok").select(
+        "url_canon", "etag", "last_modified"
+    )
+    n = 0
+    for r in ok.collect():
+        ts, html, _u = by_canon[r["url_canon"]]
+        assert r["etag"] == hashlib.md5(html).hexdigest()
+        assert r["last_modified"] == ts
+        n += 1
+    assert n > 5
+
+
+def test_resume_keeps_prior_cache_info(spark, corpus, tmp_path_factory):
+    # a resumed crawl re-reads prior rounds' results from checkpoints:
+    # pages fetched before the interruption keep their original cache
+    # info (the reference reuses fallback.crawlCacheInfo when the
+    # crawler version matches, specs-crawler.js:87-98)
+    pages, seeds, robots = corpus
+    chk = str(tmp_path_factory.mktemp("chk_cache"))
+    eng = CrawlEngine(spark, pages, robots, checkpoint_dir=chk, modules=["links"])
+    first = eng.crawl(seeds, max_rounds=2)
+    prior = {
+        r["url_canon"]: (r["etag"], r["last_modified"])
+        for r in first.results.filter(F.col("status") == "ok")
+        .select("url_canon", "etag", "last_modified")
+        .collect()
+    }
+    resumed = CrawlEngine(
+        spark, pages, robots, checkpoint_dir=chk, modules=["links"]
+    ).resume(max_rounds=MAX_ROUNDS)
+    after = {
+        r["url_canon"]: (r["etag"], r["last_modified"])
+        for r in resumed.results.filter(F.col("status") == "ok")
+        .select("url_canon", "etag", "last_modified")
+        .collect()
+    }
+    assert prior  # sanity: the interrupted crawl fetched something
+    for canon, info in prior.items():
+        assert after[canon] == info

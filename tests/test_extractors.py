@@ -368,3 +368,39 @@ def test_events_table_rowheader_th_alignment():
     assert by_type["open"]["bubbles"] is False
     assert by_type["close"]["interface"] == "CloseEvent"
     assert by_type["close"]["bubbles"] is True
+
+
+def test_generator_respec_config_static_sniff():
+    # get-generator.mjs:20-21 window.eval approximation: an inline
+    # script assigning respecConfig marks the page as ReSpec
+    from reffy_spark.extractors.base import extract_page
+
+    html = (
+        '<html><head><script>var respecConfig = {specStatus: "ED"};'
+        "</script></head><body><h1>T</h1></body></html>"
+    )
+    assert extract_page(html, "https://x.test/", ["generator"])["generator"] == "respec"
+    # a script loaded by src (no inline text) must NOT trip the sniff
+    ext = (
+        '<html><head><script src="respec-w3c.js"></script></head>'
+        "<body><h1>T</h1></body></html>"
+    )
+    assert extract_page(ext, "https://x.test/", ["generator"])["generator"] is None
+    # bikeshed meta still wins over an inline respecConfig
+    bik = (
+        '<html><head><meta name="generator" content="Bikeshed 3">'
+        "<script>var respecConfig = {};</script></head><body></body></html>"
+    )
+    assert extract_page(bik, "https://x.test/", ["generator"])["generator"] == "bikeshed"
+
+
+def test_detect_crawl_error_index_of():
+    from reffy_spark.extractors.base import extract_page
+
+    hic = "<html><body><h1>\n Index of /css-fonts/ \n</h1></body></html>"
+    assert extract_page(hic, "https://d.test/", ["title"], with_error=True) == {
+        "_crawl_error": "CSS server issue detected"
+    }
+    ok = "<html><body><h1>Indexed DB API</h1></body></html>"
+    out = extract_page(ok, "https://d.test/", ["title"], with_error=True)
+    assert "_crawl_error" not in out
