@@ -101,6 +101,50 @@ def _plane_component(p: int, i: int) -> Column:
     ) - F.lit(1.0)
 
 
+def _plane_component_py(p: int, i: int) -> float:
+    """Python twin of ``_plane_component`` — bit-identical doubles (same
+    md5-derived integer, same IEEE divide/subtract)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"plane-{p}-{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2_000_001) / 1_000_000.0 - 1.0
+
+
+def lsh_bucket_py(vec, n_planes: int = 8) -> int:
+    """Driver-side bucket id of one vector — bit-identical to
+    ``lsh_bucket_col`` (the fold order and IEEE ops match), so a query
+    vector's probe set can be computed as plain literals without a
+    Spark job."""
+    bucket = 0
+    for p in range(n_planes):
+        d = 0.0
+        for i, x in enumerate(vec):
+            d += float(x) * _plane_component_py(p, i)
+        if d >= 0:
+            bucket |= 1 << p
+    return bucket
+
+
+def probe_buckets(query_vec, n_planes: int = 8, hamming: int = 0) -> list[int]:
+    """The query's bucket plus every bucket within ``hamming`` bit flips
+    (multi-probe LSH): flipping one hyperplane's sign bit reaches the
+    neighbor region just across that plane, where near neighbors of a
+    query that sits close to the boundary land. hamming=1 probes
+    n_planes+1 buckets and recovers most of the single-probe recall
+    cliff at high n_planes."""
+    import itertools
+
+    qb = lsh_bucket_py(query_vec, n_planes)
+    probes = set()
+    for r in range(hamming + 1):
+        for combo in itertools.combinations(range(n_planes), r):
+            v = qb
+            for p in combo:
+                v ^= 1 << p
+            probes.add(v)
+    return sorted(probes)
+
+
 def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Sign-concatenation bucket id over n deterministic hyperplanes."""
     bucket = F.lit(0).cast("long")
@@ -133,18 +177,24 @@ def ann_topk_lsh(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hamming: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: rank only vectors in the query's LSH bucket.
+    """Approximate top-k: rank only vectors in the query's probe buckets.
 
-    At 100 TB the buckets table is written bucketed-by(bucket) so a query
-    probes one partition; recall/latency trades via n_planes (and
-    multi-probe over neighboring buckets — future work).
+    ``hamming=0`` probes the query's own LSH bucket; ``hamming=1`` adds
+    every Hamming-1 neighbor bucket (multi-probe — n_planes+1 probes),
+    recovering the recall lost when a query sits near a hyperplane
+    boundary. The probe set is computed driver-side as literals
+    (bit-identical Python twin of the bucket expression), so the filter
+    is a plain IN over the bucket column: at 100 TB the buckets table is
+    written bucketed-by(bucket) and a query reads only the probed
+    partitions/files (data skipping on the IN list).
     """
     b = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    qb = lsh_bucket_col(q, dim, n_planes)
+    probes = probe_buckets(query_vec, n_planes, hamming)
     return (
-        b.filter(F.col("bucket") == qb)
+        b.filter(F.col("bucket").isin(probes))
         .select(
             "vec_id", F.round(cosine_col(F.col("embedding"), q), 6).alias("cosine")
         )

@@ -613,14 +613,17 @@ ORACLE_COSINE_TOPK = f"""
 # from md5('plane-p-i') exactly like similarity._plane_component, so the
 # DuckDB twin recomputes the same planes and the same sign-concat bucket.
 _LSH_N_PLANES = 4  # 2^4 buckets over 500 vectors → ~30 candidates/bucket
-_LSH_PLANES_CTE = f"""
+
+
+def _lsh_planes_cte(n_planes: int) -> str:
+    return f"""
     planes AS (
       SELECT p, list(comp ORDER BY i) AS plane
       FROM (
         SELECT p.range AS p, i.range AS i,
                ((('0x' || substr(md5('plane-' || p.range || '-' || i.range), 1, 15))::BIGINT
                  % 2000001)::DOUBLE / 1000000.0 - 1.0) AS comp
-        FROM range(0, {_LSH_N_PLANES}) p, range(0, 64) i
+        FROM range(0, {n_planes}) p, range(0, 64) i
       )
       GROUP BY p
     ),
@@ -635,6 +638,9 @@ _LSH_PLANES_CTE = f"""
 """
 
 
+_LSH_PLANES_CTE = _lsh_planes_cte(_LSH_N_PLANES)
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     """Approximate top-k: probe only the query vector's LSH bucket."""
     emb = load(spark, sf_dir, "embeddings")
@@ -647,6 +653,38 @@ ORACLE_ANN_TOPK_LSH = f"""
     SELECT b.vec_id AS vec_id, {_COS} AS cosine
     FROM buckets b
     JOIN buckets a ON a.vec_id = 0 AND b.bucket = a.bucket
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+
+_MP_N_PLANES = 6  # 64 buckets over 500 vectors → single-probe visibly misses
+
+
+def q_ann_topk_multiprobe(spark, sf_dir):
+    """Multi-probe ANN: the query's bucket plus every Hamming-1 neighbor
+    bucket (7 probes at 6 planes) — the scale path's recall recovery for
+    queries that sit near a hyperplane boundary."""
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return S.ann_topk_lsh(
+        emb, list(q0), dim=64, k=10, n_planes=_MP_N_PLANES, hamming=1
+    )
+
+
+ORACLE_ANN_TOPK_MULTIPROBE = f"""
+    WITH {_lsh_planes_cte(_MP_N_PLANES)},
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    probes AS (
+      SELECT bucket AS pb FROM qb
+      UNION
+      SELECT xor(qb.bucket, CAST(1 << p.range AS BIGINT)) AS pb
+      FROM qb, range(0, {_MP_N_PLANES}) p
+    )
+    SELECT b.vec_id AS vec_id, {_COS} AS cosine
+    FROM buckets b
+    JOIN buckets a ON a.vec_id = 0
+    WHERE b.bucket IN (SELECT pb FROM probes)
     ORDER BY cosine DESC, vec_id
     LIMIT 10
 """
@@ -827,6 +865,7 @@ QUERIES = {
     "knn_brute": q_knn_brute,
     "cosine_topk": q_cosine_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_multiprobe": q_ann_topk_multiprobe,
     "embedding_neardup": q_embedding_neardup,
     "extract_headings": q_extract_headings,
     "extract_links": q_extract_links,
@@ -852,6 +891,7 @@ ORACLES = {
     "knn_brute": ORACLE_KNN,
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_topk_lsh": ORACLE_ANN_TOPK_LSH,
+    "ann_topk_multiprobe": ORACLE_ANN_TOPK_MULTIPROBE,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "extract_headings": ORACLE_EXTRACT_HEADINGS,
     "extract_links": ORACLE_EXTRACT_LINKS,
