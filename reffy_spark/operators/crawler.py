@@ -193,6 +193,9 @@ class CrawlEngine:
         else:
             self.reliable_state = bool(reliable_state)
         self._state_dir: str | None = None
+        # persisted within-round working sets awaiting release (ephemeral
+        # multi-executor mode; see _materialize durable=False)
+        self._working_sets: list[DataFrame] = []
         # Derive the robots table's max crawl delay ONCE (tiny config
         # aggregate) so politeness_rank never runs a per-round driver
         # action to decide its prune-vs-two-phase-rank gate.
@@ -218,13 +221,19 @@ class CrawlEngine:
         )
         frontier = FR.apply_robots(frontier, self.robots)
         seen = frontier.select("url_canon", F.lit(0).alias("first_round"))
-        frontier = self._materialize(frontier, "frontier", 0)
+        # the seed frontier is re-derivable from the seed list — a
+        # working set until the first durable round commit replaces it
+        frontier = self._materialize(
+            frontier, "frontier", 0, durable=bool(self.checkpoint_dir)
+        )
         # pure replay without a checkpoint never consumes the seen set
         # (no discovery anti-join, no resume) — committing it would be a
         # full frontier-sized write+read; keep it a cheap projection of
         # the materialized frontier instead
         if self.discover or self.checkpoint_dir:
-            seen = self._materialize(seen, "seen", 0)
+            seen = self._materialize(
+                seen, "seen", 0, durable=bool(self.checkpoint_dir)
+            )
         else:
             seen = frontier.select("url_canon", F.lit(0).alias("first_round"))
         return self._run_rounds(frontier, seen, start_round=1, max_rounds=max_rounds)
@@ -296,6 +305,13 @@ class CrawlEngine:
                     else:
                         seen = self._materialize(seen, name, r)
                 deferred = []
+            # cached working sets from earlier rounds have no consumer
+            # left once the deferred commits above are durable AND every
+            # in-round action ran (metrics/discovery force the round's
+            # results). Pure replay defers ALL result consumption to the
+            # caller's final action, so there we keep the caches alive.
+            if self.discover or self.collect_metrics or self.checkpoint_dir:
+                self._release_working_sets()
             if frontier.isEmpty():
                 break
 
@@ -310,6 +326,7 @@ class CrawlEngine:
                 ),
                 "batch",
                 rnd,
+                durable=False,
             )
 
             # ---- fetch: join batch to pages on url_canon ----------------
@@ -410,7 +427,7 @@ class CrawlEngine:
                 # metrics count) — in the plain anti-join path without
                 # metrics it streams straight through filter_unseen
                 if self.use_bloom or self.collect_metrics:
-                    cand = self._materialize(cand, "candidates", rnd)
+                    cand = self._materialize(cand, "candidates", rnd, durable=False)
 
                 if self.use_bloom:
                     if seen_count is None:
@@ -421,7 +438,10 @@ class CrawlEngine:
                 # new_urls feeds BOTH the frontier merge and the seen-set
                 # update
                 new_urls = self._materialize(
-                    FR.filter_unseen(cand, seen, bloom=bloom), "new_urls", rnd
+                    FR.filter_unseen(cand, seen, bloom=bloom),
+                    "new_urls",
+                    rnd,
+                    durable=False,
                 )
                 if self.use_bloom or self.collect_metrics:
                     n_new = new_urls.count()
@@ -502,7 +522,9 @@ class CrawlEngine:
         return CrawlResult(results=results, url_seen=seen, links=links, metrics=metrics)
 
     # ------------------------------------------------------------------
-    def _materialize(self, df: DataFrame, name: str, rnd: int) -> DataFrame:
+    def _materialize(
+        self, df: DataFrame, name: str, rnd: int, durable: bool = True
+    ) -> DataFrame:
         """Commit a state table for this round (checkpoint = snapshot).
 
         Writing + re-reading truncates lineage (the BSP round boundary)
@@ -510,16 +532,41 @@ class CrawlEngine:
         (parquet, ephemeral dir) commits when running multi-executor —
         executor loss must not destroy round state — else localCheckpoint
         (same truncation, no persistence, no I/O).
+
+        ``durable=False`` marks a within-round WORKING SET (the round's
+        batch, discovery candidates, new_urls): in ephemeral
+        multi-executor mode these are cached (persist MEMORY_AND_DISK)
+        instead of written to parquet — lineage stays intact, so executor
+        loss triggers recompute from the last durable table rather than
+        job failure (strictly better than localCheckpoint, equal
+        correctness to parquet), and the per-round disk round-trip
+        disappears from the critical path. Cross-round state
+        (frontier/seen/results) stays parquet-committed: that is the
+        lineage-truncation boundary that keeps multi-round plans flat.
         """
         if self.checkpoint_dir:
             path = os.path.join(self.checkpoint_dir, f"round={rnd}", name)
             df.write.mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
         if self.reliable_state:
-            path = os.path.join(self._ensure_state_dir(), f"round={rnd}", name)
-            df.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
+            if durable:
+                path = os.path.join(self._ensure_state_dir(), f"round={rnd}", name)
+                df.write.mode("overwrite").parquet(path)
+                return self.spark.read.parquet(path)
+            from pyspark.storagelevel import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._working_sets.append(df)
+            return df
         return df.localCheckpoint(eager=True)
+
+    def _release_working_sets(self) -> None:
+        for df in self._working_sets:
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._working_sets = []
 
     def _write_manifest(self, rnd: int, m: RoundMetrics) -> None:
         if not self.checkpoint_dir:

@@ -49,9 +49,27 @@ def dedupe_stream(pages: DataFrame, watermark: str = "1 hour") -> DataFrame:
 def incremental_extract(
     pages: DataFrame, modules: list[str] | None = None, watermark: str = "1 hour"
 ) -> DataFrame:
-    """Dedup + extract on the stream; same extraction stage as batch."""
-    deduped = dedupe_stream(pages, watermark)
-    return extract_all(deduped, modules or ["links", "title"], url_col="url_canon")
+    """Dedup + extract on the stream; same extraction stage as batch.
+
+    Batch/streaming parity includes the crawl-cache analog
+    (specs-crawler.js:87-98): each extracted row carries ``etag``
+    (content digest) + ``last_modified`` (capture timestamp), so a later
+    incremental pass — which only ever sees files the checkpoint hasn't
+    consumed — can compare digests against the previous crawl's results
+    the way the reference reuses ``fallback.crawlCacheInfo``; page-level
+    failure sniffs (CSS-server hiccup) flow through ``crawl_error``."""
+    deduped = dedupe_stream(pages, watermark).withColumn(
+        "etag", F.md5(F.col("html"))
+    )
+    out = extract_all(
+        deduped,
+        modules or ["links", "title"],
+        url_col="url_canon",
+        passthrough=["etag", "warc_ts"],
+        last_modified_col="warc_ts",
+        error_col="crawl_error",
+    )
+    return out.withColumnRenamed("warc_ts", "last_modified")
 
 
 def crawl_rate_metrics(

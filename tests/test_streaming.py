@@ -29,6 +29,19 @@ def test_incremental_extract_availablenow(spark, source_dir, tmp_path_factory):
     urls = [r["url_canon"] for r in rows]
     assert len(urls) == len(set(urls))
     assert all(json.loads(r["title"]).startswith("Spec ") for r in rows)
+    # streaming parity with the batch crawl's cache-info columns
+    import hashlib
+
+    assert all(len(r["etag"]) == 32 and r["last_modified"] is not None for r in rows)
+    assert all(r["crawl_error"] is None for r in rows)
+    one = rows[0]
+    src = {r["url"]: bytes(r["html"]) for r in spark.read.parquet(source_dir).collect()}
+    from reffy_spark.functions.urls import url_canon_py
+
+    match = [h for u, h in src.items() if url_canon_py(u) == one["url_canon"]]
+    # streaming dedup keeps the first capture to arrive; the etag must be
+    # the digest of one of the canonical URL's captures
+    assert one["etag"] in {hashlib.md5(h).hexdigest() for h in match}
 
     # second invocation: no new files -> no new rows (exactly-once)
     INC.run_incremental_batch(spark, source_dir, out, chk, modules=["title", "links"])
