@@ -134,12 +134,13 @@ SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1200000"))
 SCALE_CORPUS = os.environ.get(
     "SPARK_GRAFT_SCALE_CORPUS", f"/tmp/reffy_scaling_corpus_{SCALE_PAGES}"
 )
+BUCKETS = 32
 
 
 def build_scaling_corpus() -> None:
     """Materialize the scaling corpus ONCE (both runs read the same
     parquet — the 'same input' requirement of the protocol)."""
-    if os.path.exists(os.path.join(SCALE_CORPUS, "pages.parquet", "_SUCCESS")):
+    if os.path.exists(os.path.join(SCALE_CORPUS, "pages_bucketed", "_SUCCESS")):
         return
     from pyspark.sql import functions as F
 
@@ -159,6 +160,31 @@ def build_scaling_corpus() -> None:
         .select("b.*")
     )
     pages_unique.write.mode("overwrite").parquet(f"{SCALE_CORPUS}/pages.parquet")
+    # The production pages-table shape made real: BUCKETED by url_canon
+    # (+ sorted within buckets) so the per-round fetch join runs with
+    # ZERO exchange and ZERO sort on the pages side — the sandbox stand-in
+    # for the Iceberg table bucketed on url_canon that SURVEY/BENCH
+    # documented as the 10^10-scale design. The table files carry bucket
+    # ids in their names; each scale-run subprocess re-registers the
+    # external-table DDL over this location.
+    pages_r0 = spark.read.parquet(f"{SCALE_CORPUS}/pages.parquet")
+    from pyspark.sql import functions as _F
+
+    (
+        pages_r0.select("url", "url_canon", "warc_ts", "html")
+        # writer-side alignment: repartition by the bucket column first so
+        # each task holds exactly one bucket → ONE file per bucket. Spark
+        # honors the SORTED BY spec (skips the join-side sort) only when a
+        # bucket has a single file; a misaligned write silently produces
+        # ~tasks×buckets files and every join re-sorts the html payload.
+        .repartition(BUCKETS, _F.col("url_canon"))
+        .write.mode("overwrite")
+        .bucketBy(BUCKETS, "url_canon")
+        .sortBy("url_canon")
+        .option("path", f"{SCALE_CORPUS}/pages_bucketed")
+        .format("parquet")
+        .saveAsTable("reffy_pages_bucketed")
+    )
     # seed-list replay = every page is a seed (the reference crawls a
     # fixed seed list once, src/lib/specs-crawler.js:473-479)
     pages_r = spark.read.parquet(f"{SCALE_CORPUS}/pages.parquet")
@@ -198,17 +224,44 @@ spark = get_spark("scale", cores={cores}, shuffle_partitions={cores},
                       "spark.network.timeout": "600s",
                       "spark.worker.timeout": "600",
                   }})
-pages = spark.read.parquet({corpus!r} + "/pages.parquet")
+# Two fetch-join strategies, both exercised:
+#   default     — plain parquet pages + broadcast of the budget-bounded
+#                 batch (the right plan while the batch fits a broadcast;
+#                 pages side never shuffles).
+#   BUCKETED=1  — the beyond-broadcast production shape: pages table
+#                 bucketed+sorted on url_canon (one file per bucket), the
+#                 fetch join then shuffles ONLY the slim batch into the
+#                 bucketing with zero exchange/sort on the pages side.
+#                 In this sandbox the batch always fits a broadcast, and
+#                 32 coarse buckets cost extraction-scan granularity, so
+#                 the default stays broadcast (measured: bucketed path
+#                 ~15%% slower end-to-end at 4x8 here; it wins only when
+#                 the batch outgrows the driver).
+import os as _os
+if _os.environ.get("SPARK_GRAFT_SCALE_BUCKETED") == "1":
+    spark.sql("DROP TABLE IF EXISTS reffy_pages_bucketed")
+    spark.sql(
+        "CREATE TABLE reffy_pages_bucketed "
+        "(url string, url_canon string, warc_ts timestamp, html binary) "
+        "USING parquet CLUSTERED BY (url_canon) SORTED BY (url_canon) "
+        "INTO {buckets} BUCKETS LOCATION '{corpus}/pages_bucketed'"
+    )
+    pages = spark.table("reffy_pages_bucketed")
+    bcast = False
+else:
+    pages = spark.read.parquet({corpus!r} + "/pages.parquet").drop("page_id")
+    bcast = True
 seeds = spark.read.parquet({corpus!r} + "/seeds.parquet")
 robots = spark.read.parquet({corpus!r} + "/robots.parquet")
 MODS = ["links", "headings", "ids", "dfns", "title"]
 # untimed warm-up: JIT + python-worker spawn + broadcast machinery
 from reffy_spark.extractors.base import extract_all
 extract_all(pages.limit(2000), MODS, url_col="url_canon", html_col="html").count()
-eng = CrawlEngine(spark, pages.drop("url_canon", "page_id"), robots,
+eng = CrawlEngine(spark, pages, robots,
                   modules=MODS,
                   round_ms=1_000_000_000, use_bloom=False, collect_metrics=False,
-                  discover=False, assume_canonical_unique=True)
+                  discover=False, assume_canonical_unique=True,
+                  assume_seeds_unique=True, broadcast_batch=bcast)
 t0 = time.monotonic()
 res = eng.crawl(seeds, max_rounds=1)
 n = res.results.filter(res.results.status == "ok").count()
@@ -222,7 +275,8 @@ def _crawl_throughput_subprocess(n_executors: int) -> dict:
     ``n_executors`` × 8-core executor JVMs."""
     cores = n_executors * 8
     code = _SCALE_JOB.format(
-        repo=REPO, cores=cores, nexec=n_executors, corpus=SCALE_CORPUS
+        repo=REPO, cores=cores, nexec=n_executors, corpus=SCALE_CORPUS,
+        buckets=BUCKETS,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True

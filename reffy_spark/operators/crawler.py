@@ -131,6 +131,7 @@ class CrawlEngine:
         collect_metrics: bool = True,
         discover: bool = True,
         assume_canonical_unique: bool = False,
+        assume_seeds_unique: bool = False,
         broadcast_batch: bool = True,
         reliable_state: bool | str = "auto",
     ):
@@ -160,6 +161,11 @@ class CrawlEngine:
         self.use_bloom = use_bloom
         self.collect_metrics = collect_metrics
         self.discover = discover
+        # seed list guaranteed one row per canonical URL → frontier
+        # construction skips its dedup aggregation (zero-shuffle seed
+        # frontier; the replay corpus derives seeds 1:1 from a pages
+        # table already unique on url_canon)
+        self.assume_seeds_unique = assume_seeds_unique
         # Canonicalize the pages table once. Canonical keys must be unique
         # for the fetch join: distinct raw URLs can collapse to one
         # canonical URL (e.g. whatwg multipage → root); keep the freshest
@@ -168,7 +174,15 @@ class CrawlEngine:
         # (src/lib/util.js:461-488). At 10^10 scale this is the Iceberg
         # pages table bucketed by url_canon so the per-round fetch join is
         # shuffle-free on the pages side.
-        pc = with_url_canon(pages).withColumnRenamed("url", "page_url")
+        # A pages table that already carries url_canon is trusted as-is
+        # (the production shape: an Iceberg table MERGEd on url_canon and
+        # BUCKETED by it — recomputing the column would discard the
+        # bucketed-scan output partitioning and reintroduce a shuffle
+        # into every fetch join).
+        if "url_canon" in pages.columns:
+            pc = pages.withColumnRenamed("url", "page_url")
+        else:
+            pc = with_url_canon(pages).withColumnRenamed("url", "page_url")
         page_cols = ["url_canon", "page_url", "html"] + (
             ["warc_ts"] if "warc_ts" in pc.columns else []
         )
@@ -217,12 +231,23 @@ class CrawlEngine:
                 "seed_idx", F.row_number().over(Window.orderBy("url")) - 1
             )
         frontier = FR.to_frontier(
-            seeds.select("url", F.col("seed_idx").cast("int")), round_no=0
+            seeds.select("url", F.col("seed_idx").cast("int")),
+            round_no=0,
+            assume_canonical_unique=self.assume_seeds_unique,
         )
         frontier = FR.apply_robots(frontier, self.robots)
+        if not self.checkpoint_dir:
+            # ephemeral crawls never re-read the original (pre-canon) URL;
+            # dropping it slims every downstream cache/shuffle of frontier
+            # state (host/host_group stay: politeness joins budgets on host)
+            frontier = frontier.drop("url")
         seen = frontier.select("url_canon", F.lit(0).alias("first_round"))
         # the seed frontier is re-derivable from the seed list — a
-        # working set until the first durable round commit replaces it
+        # working set until the first durable round commit replaces it.
+        # It IS worth materializing even in pure replay: politeness
+        # consumes the frontier twice (the group-budget aggregate and the
+        # rank input), so skipping the cache re-runs the canonicalization
+        # chain per consumer (measured: rank phase 8.7 s → 47 s at 4×8).
         frontier = self._materialize(
             frontier, "frontier", 0, durable=bool(self.checkpoint_dir)
         )
@@ -312,7 +337,11 @@ class CrawlEngine:
             # caller's final action, so there we keep the caches alive.
             if self.discover or self.collect_metrics or self.checkpoint_dir:
                 self._release_working_sets()
-            if frontier.isEmpty():
+            # the emptiness check only matters once discovery may have
+            # drained the frontier; for the first round an empty seed
+            # list just yields one cheap empty round — skipping the check
+            # saves a job over the freshly-built frontier
+            if rnd > start_round and frontier.isEmpty():
                 break
 
             # materialize the round's batch once: it feeds the fetch join,

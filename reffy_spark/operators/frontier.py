@@ -180,8 +180,20 @@ FRONTIER_COLS = [
 ]
 
 
-def to_frontier(df: DataFrame, depth_col=None, priority_col=None, round_no: int = 0) -> DataFrame:
-    """Canonicalize candidate URLs into frontier rows (FIXTURES.md §3)."""
+def to_frontier(
+    df: DataFrame,
+    depth_col=None,
+    priority_col=None,
+    round_no: int = 0,
+    assume_canonical_unique: bool = False,
+) -> DataFrame:
+    """Canonicalize candidate URLs into frontier rows (FIXTURES.md §3).
+
+    ``assume_canonical_unique=True`` skips the within-batch dedup
+    aggregation when the caller guarantees one row per canonical URL
+    (e.g. a seed list derived 1:1 from a pages table already MERGEd on
+    url_canon) — the replay path then builds the frontier with zero
+    shuffles."""
     out = with_url_canon(df)
     out = out.withColumn("host", host_col(F.col("url_canon")))
     out = out.withColumn("host_group", host_group_col(F.col("url_canon")))
@@ -195,6 +207,8 @@ def to_frontier(df: DataFrame, depth_col=None, priority_col=None, round_no: int 
         else F.lit(1.0) / (F.col("depth") + F.lit(1.0)),
     )
     out = out.withColumn("round_discovered", F.lit(round_no))
+    if assume_canonical_unique:
+        return out.select("url_canon", *[c for c in out.columns if c != "url_canon"])
     # within-batch dedup: lowest (depth, url) wins per canonical URL.
     # min_by instead of a row_number window: partial aggregation combines
     # map-side, so the shuffle carries one row per canonical URL instead
@@ -277,6 +291,7 @@ def _exact_group_rank(
     order: list,
     rank_col: str = "host_fetch_rank",
     num_parts: int | None = None,
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Exact per-``host_group`` ``row_number`` with NO single-task sort of
     a whole group — the two-phase distributed ranking classic:
@@ -299,9 +314,17 @@ def _exact_group_rank(
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # Rank over ONLY the order-key columns: the double shuffle (range +
-    # window hash) carries 4 slim columns, not the whole frontier payload.
+    # window hash) carries slim columns, not the whole frontier payload.
+    #
+    # ``carry``: additional small payload columns (ints, a budget) pulled
+    # THROUGH the range shuffle so the caller can consume the ranked slim
+    # frame directly — the legacy join-back onto the full payload costs
+    # two more frontier-sized shuffles at replay scale. With carry set,
+    # the result contains ONLY key+carry+rank columns (strings like
+    # url/host are re-derivable from url_canon downstream).
     key_cols = ["host_group", "priority", "depth", "url_canon"]
-    slim = df.select(*key_cols)
+    carry_cols = [c for c in (carry or []) if c not in key_cols]
+    slim = df.select(*key_cols, *carry_cols)
     ranged = slim.repartitionByRange(num_parts, F.col("host_group"), *order)
     # Bake the range-partition id INTO THE DATA under a single
     # materialization (persist): the offsets branch and the rank branch
@@ -346,6 +369,8 @@ def _exact_group_rank(
         .join(F.broadcast(offsets), on=["host_group", "_pid"], how="inner")
         .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("int"))
     )
+    if carry is not None:
+        return ranked.select(*key_cols, *carry_cols, rank_col)
     # join ranks back onto the full payload by the unique row key
     # (frontier contract: one row per url_canon); the payload side is
     # already hash-partitioned by url_canon from to_frontier's dedup, so
@@ -427,9 +452,19 @@ def politeness_rank(
         w_final = Window.partitionBy("host_group").orderBy(*order)
         ranked = pruned.withColumn("host_fetch_rank", F.row_number().over(w_final))
     else:
-        ranked = _exact_group_rank(
-            with_budget.join(group_budgets, on="host_group"), order
-        )
+        # unbounded replay: consume the ranked slim frame directly — no
+        # join-back onto the full frontier (two saved frontier-sized
+        # shuffles). Numeric metadata is carried through the range
+        # shuffle; string columns (url, host) are dropped here and
+        # re-derived from url_canon downstream where needed.
+        wb = with_budget.join(group_budgets, on="host_group")
+        carry = [
+            c
+            for c in wb.columns
+            if c not in ("host_group", "priority", "depth", "url_canon",
+                         "url", "host", "budget")
+        ]
+        ranked = _exact_group_rank(wb, order, carry=carry)
     return (
         ranked.filter(F.col("host_fetch_rank") <= F.col("_gb"))
         .drop("_gb", "budget")
