@@ -258,8 +258,10 @@ def parse_idl(idl: str) -> dict:
         "dependencies": {},
         "externalDependencies": [],
     }
-    if has_obsolete:
-        report["hasObsoleteIdl"] = True
+    # always present, true or false — the reference assigns it
+    # unconditionally (src/postprocessing/idlparsed.js:119) and the
+    # idlparsed schema lists it as required
+    report["hasObsoleteIdl"] = has_obsolete
 
     toks, spans = tokenize_spans(idl)
     p = _Parser(toks, spans)

@@ -1812,3 +1812,51 @@ EXT_ORACLES.update(
         "generator_sniff": ORACLE_GENERATOR_SNIFF,
     }
 )
+
+
+def q_schema_violations(spark, sf_dir):
+    """Distributed JSON-Schema validation (the reference's Ajv layer,
+    util.js:1065-1140, as a Spark operator): one Arrow pass over the
+    extract columns producing a violations table. Docs %4==0 drop the
+    required `access` key, %4==1 carry an unexpected extra property;
+    everything else conforms and yields no rows."""
+    from reffy_spark.validation import validate_extracts
+
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://v.test/s", i, "/")
+    base = _cat(
+        '{"id": "t-', i, '", "href": "https://v.test/s', i, '/#t-', i, '", ',
+        '"linkingText": ["term ', i, '"], "localLinkingText": [], ',
+        '"type": "dfn", "for": [], ',
+    )
+    tail = _cat(
+        '"informative": false, "heading": {"href": "https://v.test/s', i,
+        '/", "title": "S', i, '"}, "definedIn": "prose"',
+    )
+    dfns_json = (
+        F.when(F.col("doc_id") % 4 == 0, _cat("[", base, tail, "}]"))
+        .when(
+            F.col("doc_id") % 4 == 1,
+            _cat("[", base, '"access": "public", "novel": 1, ', tail, "}]"),
+        )
+        .otherwise(_cat("[", base, '"access": "public", ', tail, "}]"))
+    )
+    pages = d.select(url.alias("url"), dfns_json.alias("dfns"))
+    return validate_extracts(pages, modules=["dfns"], url_col="url")
+
+
+ORACLE_SCHEMA_VIOLATIONS = """
+    SELECT 'https://v.test/s' || doc_id || '/' AS url,
+           'dfns' AS module,
+           CASE WHEN doc_id % 4 = 0
+                THEN '$[0]: missing required property ''access'''
+                ELSE '$[0]: unexpected additional property ''novel'''
+           END AS error
+    FROM documents
+    WHERE doc_id % 4 IN (0, 1)
+"""
+
+
+EXT_QUERIES.update({"schema_violations": q_schema_violations})
+EXT_ORACLES.update({"schema_violations": ORACLE_SCHEMA_VIOLATIONS})
