@@ -80,7 +80,11 @@ def _collection_member(kind: str) -> dict:
 DEFS: dict[str, dict] = {
     "url": STR,  # format: url — Ajv format checks are off in the reference's compile
     "title": {"type": "string", "minLength": 1},
-    "shortname": {"type": "string", "pattern": r"^[\w\-]+((?<=-v?\d+)\.\d+)?$"},
+    # common.json's shortname uses a variable-width look-behind
+    # (^[\w\-]+((?<=-v?\d+)\.\d+)?$) which JS allows but Python re does
+    # not; this alternation is semantically identical: a plain
+    # word/hyphen name, or one whose ".minor" suffix follows a -v?N part
+    "shortname": {"type": "string", "pattern": r"^[\w\-]+$|^[\w\-]*-v?\d+\.\d+$"},
     "specInExtract": obj(
         ["title", "url"], {"title": ref("title"), "url": ref("url")}
     ),
