@@ -134,6 +134,7 @@ class CrawlEngine:
         assume_seeds_unique: bool = False,
         broadcast_batch: bool = True,
         reliable_state: bool | str = "auto",
+        fallback: DataFrame | None = None,
     ):
         # discover=False is pure seed-list replay — the reference's own
         # semantics (crawlList maps over the fixed list exactly once and
@@ -210,6 +211,24 @@ class CrawlEngine:
         # persisted within-round working sets awaiting release (ephemeral
         # multi-executor mode; see _materialize durable=False)
         self._working_sets: list[DataFrame] = []
+        # Conditional-recrawl reuse (specs-crawler.js:87-98,128-133 +
+        # test/crawl.js "skips processing and reuse fallback data when
+        # spec cache info indicates it has not changed"): a prior crawl's
+        # results table (url_canon, etag, last_modified, module columns).
+        # Fetched pages whose content digest matches the fallback etag
+        # SKIP the extraction stage and reuse the prior extracts — a
+        # recrawl's Python compute is then proportional to CHANGED pages
+        # only. Misses (notfound) also pull fallback extracts when
+        # available, keeping the error status ("reports errors and
+        # returns fallback data when possible", test/crawl.js:146).
+        # Error'd fallback rows are never reused (the reference skips
+        # them: "we don't really know whether these results come from
+        # that previous crawl").
+        if fallback is not None and "crawl_error" in fallback.columns:
+            fallback = fallback.filter(F.col("crawl_error").isNull())
+        if fallback is not None and "status" in fallback.columns:
+            fallback = fallback.filter(F.col("status") == "ok")
+        self.fallback = fallback
         # Derive the robots table's max crawl delay ONCE (tiny config
         # aggregate) so politeness_rank never runs a per-round driver
         # action to decide its prune-vs-two-phase-rank gate.
@@ -399,6 +418,56 @@ class CrawlEngine:
             fetched_ok = fetched_ok.withColumn(
                 "etag", F.md5(F.col("html").cast("binary"))
             )
+            # conditional-recrawl split: pages whose digest matches the
+            # fallback crawl's etag bypass extraction entirely (reuse),
+            # misses later pull fallback extracts — see __init__ notes
+            reused = None
+            fb_slim = None
+            fb_mods: list[str] = []
+            if self.fallback is not None:
+                fb = self.fallback
+                fb_mods = [m for m in self.modules if m in fb.columns]
+                fb_lm = (
+                    F.col("last_modified")
+                    if "last_modified" in fb.columns
+                    else F.lit(None).cast("timestamp")
+                )
+                fb_slim = fb.select(
+                    "url_canon",
+                    F.col("etag").alias("_fb_etag"),
+                    fb_lm.alias("_fb_last_modified"),
+                    *[F.col(m).alias(f"_fb_{m}") for m in fb_mods],
+                )
+                fb_drop = ["_fb_etag", "_fb_last_modified"] + [
+                    f"_fb_{m}" for m in fb_mods
+                ]
+                joined = fetched_ok.join(fb_slim, on="url_canon", how="left")
+                unchanged = joined.filter(F.col("_fb_etag") == F.col("etag"))
+                fetched_ok = joined.filter(
+                    F.col("_fb_etag").isNull()
+                    | (F.col("_fb_etag") != F.col("etag"))
+                ).drop(*fb_drop)
+                reused = (
+                    unchanged.select(
+                        "url_canon",
+                        *meta_cols,
+                        "etag",
+                        F.col("_fb_last_modified").alias("last_modified"),
+                        *[
+                            (
+                                F.col(f"_fb_{m}")
+                                if m in fb_mods
+                                else F.lit(None).cast("string")
+                            ).alias(m)
+                            for m in self.modules
+                        ],
+                    )
+                    .withColumn("crawl_error", F.lit(None).cast("string"))
+                    .withColumn("host", host_col(F.col("url_canon")))
+                    .withColumn("host_group", host_group_col(F.col("url_canon")))
+                    .withColumn("status", F.lit("ok"))
+                    .withColumn("from_fallback", F.lit(True))
+                )
             cache_cols = ["etag"] + (["warc_ts"] if has_ts else [])
             extracts = (
                 extract_all(
@@ -424,13 +493,38 @@ class CrawlEngine:
                 extracts = extracts.withColumn(
                     "last_modified", F.lit(None).cast("timestamp")
                 )
-            for m in self.modules:
-                notfound = notfound.withColumn(m, F.lit(None).cast("string"))
-            notfound = (
-                notfound.withColumn("etag", F.lit(None).cast("string"))
-                .withColumn("last_modified", F.lit(None).cast("timestamp"))
-                .withColumn("crawl_error", F.lit(None).cast("string"))
-            )
+            extracts = extracts.withColumn("from_fallback", F.lit(False))
+            if reused is not None:
+                extracts = extracts.unionByName(reused.select(*extracts.columns))
+            if fb_slim is not None:
+                # misses pull fallback extracts when available; the
+                # notfound status is KEPT alongside the reused data
+                # (test/crawl.js:146 "reports errors and returns
+                # fallback data when possible")
+                notfound = notfound.join(fb_slim, on="url_canon", how="left")
+                for m in self.modules:
+                    notfound = notfound.withColumn(
+                        m,
+                        F.col(f"_fb_{m}")
+                        if m in fb_mods
+                        else F.lit(None).cast("string"),
+                    )
+                notfound = (
+                    notfound.withColumn("etag", F.col("_fb_etag"))
+                    .withColumn("last_modified", F.col("_fb_last_modified"))
+                    .withColumn("crawl_error", F.lit(None).cast("string"))
+                    .withColumn("from_fallback", F.col("_fb_etag").isNotNull())
+                    .drop("_fb_etag", "_fb_last_modified", *[f"_fb_{m}" for m in fb_mods])
+                )
+            else:
+                for m in self.modules:
+                    notfound = notfound.withColumn(m, F.lit(None).cast("string"))
+                notfound = (
+                    notfound.withColumn("etag", F.lit(None).cast("string"))
+                    .withColumn("last_modified", F.lit(None).cast("timestamp"))
+                    .withColumn("crawl_error", F.lit(None).cast("string"))
+                    .withColumn("from_fallback", F.lit(False))
+                )
             round_results = (
                 extracts.unionByName(notfound.select(*extracts.columns))
                 .withColumn("round", F.lit(rnd))

@@ -1860,3 +1860,55 @@ ORACLE_SCHEMA_VIOLATIONS = """
 
 EXT_QUERIES.update({"schema_violations": q_schema_violations})
 EXT_ORACLES.update({"schema_violations": ORACLE_SCHEMA_VIOLATIONS})
+
+
+def q_fallback_reuse(spark, sf_dir):
+    """Conditional-recrawl reuse, END-TO-END through the crawl engine
+    (test/crawl.js:114): docs %3==0 changed since the fallback crawl and
+    get re-extracted; everything else matches the fallback etag and
+    reuses the prior extract (title = OLD sentinel) without running the
+    extraction stage."""
+    from reffy_spark.operators.crawler import CrawlEngine
+
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    url = _cat("https://fb.test/s", i, "/")
+    ver = F.when(F.col("doc_id") % 3 == 0, F.lit("2")).otherwise(F.lit("1"))
+    html = _cat(
+        "<html><head><title>T", i, " v", ver,
+        "</title></head><body></body></html>",
+    )
+    html_v1 = _cat(
+        "<html><head><title>T", i, " v1</title></head><body></body></html>",
+    )
+    pages = d.select(url.alias("url"), html.cast("binary").alias("html"))
+    fallback = d.select(
+        url.alias("url_canon"),
+        F.md5(html_v1.cast("binary")).alias("etag"),
+        _cat('"OLD', i, '"').alias("title"),
+    )
+    robots = spark.createDataFrame(
+        [("fb.test", "/", True, 1)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    eng = CrawlEngine(
+        spark, pages, robots, modules=["title"], use_bloom=False,
+        collect_metrics=False, discover=False, round_ms=1_000_000_000,
+        fallback=fallback,
+    )
+    res = eng.crawl(pages.select("url"), max_rounds=1)
+    return res.results.select("url_canon", "title", "from_fallback", "status")
+
+
+ORACLE_FALLBACK_REUSE = """
+    SELECT 'https://fb.test/s' || doc_id || '/' AS url_canon,
+           CASE WHEN doc_id % 3 = 0 THEN '"T' || doc_id || ' v2"'
+                ELSE '"OLD' || doc_id || '"' END AS title,
+           doc_id % 3 <> 0 AS from_fallback,
+           'ok' AS status
+    FROM documents
+"""
+
+
+EXT_QUERIES.update({"fallback_reuse": q_fallback_reuse})
+EXT_ORACLES.update({"fallback_reuse": ORACLE_FALLBACK_REUSE})

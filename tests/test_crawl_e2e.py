@@ -235,3 +235,60 @@ def test_resume_keeps_prior_cache_info(spark, corpus, tmp_path_factory):
     assert prior  # sanity: the interrupted crawl fetched something
     for canon, info in prior.items():
         assert after[canon] == info
+
+
+def test_fallback_reuse_skips_unchanged_pages(spark):
+    # test/crawl.js:114 "skips processing and reuse fallback data when
+    # spec cache info indicates it has not changed" + :146 "reports
+    # errors and returns fallback data when possible"
+    def page(i, v=1):
+        return (
+            f"https://fb.test/s{i}/",
+            f"<html><head><title>S{i} v{v}</title></head>"
+            f"<body><h1>S{i}</h1></body></html>".encode(),
+        )
+
+    robots = spark.createDataFrame(
+        [("fb.test", "/", True, 10)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    pages_v1 = spark.createDataFrame(
+        [page(i) for i in range(6)], "url string, html binary"
+    )
+    first = CrawlEngine(
+        spark, pages_v1, robots, modules=["title"], use_bloom=False,
+        collect_metrics=False, discover=False,
+    ).crawl(pages_v1.select("url"), max_rounds=1)
+    fallback = first.results
+    # tamper one unchanged page's stored title: the recrawl must carry
+    # the SENTINEL through (proof extraction was skipped, not re-run)
+    fallback = fallback.withColumn(
+        "title",
+        F.when(
+            F.col("url_canon") == "https://fb.test/s1/", F.lit('"SENTINEL"')
+        ).otherwise(F.col("title")),
+    )
+
+    # v2: page 0 changed, page 5 gone, others identical
+    pages_v2 = spark.createDataFrame(
+        [page(0, v=2)] + [page(i) for i in range(1, 5)],
+        "url string, html binary",
+    )
+    second = CrawlEngine(
+        spark, pages_v2, robots, modules=["title"], use_bloom=False,
+        collect_metrics=False, discover=False, fallback=fallback,
+    ).crawl(pages_v1.select("url"), max_rounds=1)
+    rows = {r["url_canon"]: r for r in second.results.collect()}
+
+    changed = rows["https://fb.test/s0/"]
+    assert changed["status"] == "ok" and not changed["from_fallback"]
+    assert "v2" in changed["title"]
+    sentinel = rows["https://fb.test/s1/"]
+    assert sentinel["from_fallback"] and sentinel["title"] == '"SENTINEL"'
+    for i in (2, 3, 4):
+        r = rows[f"https://fb.test/s{i}/"]
+        assert r["from_fallback"] and r["status"] == "ok"
+        assert f"S{i} v1" in r["title"]
+    gone = rows["https://fb.test/s5/"]
+    assert gone["status"] == "notfound" and gone["from_fallback"]
+    assert f"S5 v1" in gone["title"]  # fallback data returned with the error
