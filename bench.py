@@ -47,8 +47,12 @@ HEADLINE = [
     "simhash",
     "text_profile",
     "knn_brute",
+    "ann_topk_multiprobe",
     "extract_headings",
     "events_rollup",
+    # full-engine single-round crawl with conditional-recrawl reuse:
+    # 2/3 of pages match the fallback etag and skip extraction
+    "fallback_reuse",
 ]
 
 

@@ -221,3 +221,22 @@ def test_validator_rejects_unknown_ref():
 
 def test_every_module_has_a_schema():
     assert set(MODULE_SCHEMAS) == set(CORE_MODULES)
+
+
+def test_validate_extracts_composes_with_crawl_results(spark):
+    # the crawl engine's results table (module columns as JSON strings)
+    # feeds validate_extracts directly — the reference validates every
+    # crawl result the same way (util.js:1065-1140 in test harnesses)
+    from reffy_spark.operators.crawler import CrawlEngine
+    from reffy_spark.sources import synthetic as syn
+
+    pages = syn.gen_pages(spark, 30, partitions=2)
+    robots = syn.gen_robots(spark)
+    res = CrawlEngine(
+        spark, pages, robots, modules=["headings", "links", "dfns"],
+        use_bloom=False, collect_metrics=False, discover=False,
+    ).crawl(pages.select("url").limit(10), max_rounds=1)
+    ok = res.results.filter("status = 'ok'")
+    assert ok.count() > 0
+    bad = validate_extracts(ok, modules=["headings", "links", "dfns"])
+    assert bad.count() == 0
