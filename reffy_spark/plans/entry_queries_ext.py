@@ -1912,3 +1912,57 @@ ORACLE_FALLBACK_REUSE = """
 
 EXT_QUERIES.update({"fallback_reuse": q_fallback_reuse})
 EXT_ORACLES.update({"fallback_reuse": ORACLE_FALLBACK_REUSE})
+
+
+def q_politeness_permits_stream(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-host-group fetch permits, the throttled-queue analog. A single
+    AvailableNow pass over a deterministic file source; the keyed-state
+    cursor makes fetch_seq a per-group sequence ordered by
+    (warc_ts, url_canon)."""
+    import tempfile
+
+    from reffy_spark.streaming.politeness import run_permits_batch
+
+    d = _docs(spark, sf_dir)
+    i = _s(F.col("doc_id"))
+    hg = _cat("h", _s(F.col("doc_id") % 4), ".test")
+    rows = d.select(
+        _cat("https://", hg, "/p", i, "/").alias("url_canon"),
+        hg.alias("host_group"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=(F.col("doc_id") % 9).cast("int"))
+        ).alias("warc_ts"),
+    )
+    work = tempfile.mkdtemp(prefix="permits_q_")
+    src, out, chk = f"{work}/src", f"{work}/out", f"{work}/chk"
+    rows.coalesce(1).write.mode("overwrite").parquet(src)
+    run_permits_batch(spark, src, out, chk, budgets={"h0.test": 7}, default_budget=25)
+    return spark.read.parquet(out).select(
+        "url_canon", "host_group", "fetch_seq", "permitted_round"
+    )
+
+
+ORACLE_POLITENESS_PERMITS = """
+    WITH rows AS (
+      SELECT 'https://h' || (doc_id % 4) || '.test/p' || doc_id || '/' AS url_canon,
+             'h' || (doc_id % 4) || '.test' AS host_group,
+             doc_id % 9 AS ts_min
+      FROM documents
+    ), seq AS (
+      SELECT url_canon, host_group,
+             ROW_NUMBER() OVER (
+               PARTITION BY host_group ORDER BY ts_min, url_canon
+             ) - 1 AS fetch_seq
+      FROM rows
+    )
+    SELECT url_canon, host_group, fetch_seq,
+           fetch_seq // (CASE WHEN host_group = 'h0.test' THEN 7 ELSE 25 END)
+             AS permitted_round
+    FROM seq
+"""
+
+
+EXT_QUERIES.update({"politeness_permits_stream": q_politeness_permits_stream})
+EXT_ORACLES.update({"politeness_permits_stream": ORACLE_POLITENESS_PERMITS})
