@@ -195,6 +195,50 @@ def merge_crawls(reference: DataFrame, new: DataFrame, key: str = "url") -> Data
 # --------------------------------------------------------------------------
 
 
+def is_latest_level_that_passes(spec: dict, specs: list[dict], predicate=None) -> bool:
+    """Faithful dict-form twin of util.js:731-774 (tested by the
+    reference's test/util.js suite): a spec "counts" when it passes the
+    predicate AND no newer full level in its series passes, AND it is
+    the series' current specification or newer. Delta specs count
+    unless an older full level (back to the current specification)
+    passes. The relational bulk form is ``series_latest`` below; this
+    twin serves per-spec report consumers (the reference uses it to
+    dedupe events/css across spec levels)."""
+    predicate = predicate or (lambda _s: True)
+    by_name = {s.get("shortname"): s for s in specs}
+    if not predicate(spec):
+        return False
+    if spec.get("seriesComposition") == "delta":
+        cur = spec
+        while cur.get("seriesPrevious") and cur.get("shortname") != (
+            cur.get("series") or {}
+        ).get("currentSpecification"):
+            cur = by_name.get(cur["seriesPrevious"])
+            if cur is None:
+                break
+            if cur.get("seriesComposition") == "full" and predicate(cur):
+                return False
+        return True
+    nxt = spec
+    while nxt.get("seriesNext"):
+        nxt = by_name.get(nxt["seriesNext"])
+        if nxt is None:
+            break
+        if nxt.get("seriesComposition") == "full" and predicate(nxt):
+            return False
+    # the spec must be the series' current specification or newer
+    cur = spec
+    while cur is not None:
+        if cur.get("shortname") == (cur.get("series") or {}).get(
+            "currentSpecification"
+        ):
+            return True
+        if not cur.get("seriesPrevious"):
+            return False
+        cur = by_name.get(cur["seriesPrevious"])
+    return False
+
+
 def series_latest(
     specs: DataFrame,
     series_col: str = "series_shortname",

@@ -293,3 +293,60 @@ def test_patch_dfns_rules(spark):
     assert not any("portals" in u for u, _, _ in rows)
     assert ("https://www.w3.org/TR/audiobooks/", "term", "private") in rows
     assert ("https://other.test/", "PermissionState", "public") in rows
+
+
+def _series_world():
+    # synthetic spec list mirroring the shapes test/util.js probes with
+    # the live browser-specs list: a level-less spec, a 3-level series
+    # (level 2 = current specification), a delta spec on top, and a
+    # same-version spec in another series
+    def spec(shortname, series, version=None, comp="full", prev=None, nxt=None,
+             current=None):
+        return {
+            "shortname": shortname,
+            "series": {"shortname": series,
+                       "currentSpecification": current or shortname},
+            "seriesVersion": version,
+            "seriesComposition": comp,
+            "seriesPrevious": prev,
+            "seriesNext": nxt,
+        }
+
+    lone = spec("lone", "lone")
+    s1 = spec("spec-1", "spec", "1", prev=None, nxt="spec-2", current="spec-2")
+    s2 = spec("spec-2", "spec", "2", prev="spec-1", nxt="spec-3", current="spec-2")
+    s3 = spec("spec-3", "spec", "3", prev="spec-2", nxt="spec-d", current="spec-2")
+    sd = spec("spec-d", "spec", "4", comp="delta", prev="spec-3", current="spec-2")
+    other1 = spec("other-1", "other", "1")
+    return lone, s1, s2, s3, sd, other1
+
+
+def test_is_latest_level_semantics():
+    # behavior cases from the reference's test/util.js:28-110, rebuilt
+    # over a synthetic series instead of the live browser-specs list
+    from reffy_spark.plans.postprocess import is_latest_level_that_passes as latest
+
+    lone, s1, s2, s3, sd, other1 = _series_world()
+    specs = [lone, s1, s2, s3, sd, other1]
+
+    assert latest(lone, specs, lambda _: True)      # no level, passes
+    assert latest(lone, specs)                      # no level, no predicate
+    assert not latest(lone, specs, lambda _: False) # fails predicate
+    assert latest(s3, specs)                        # latest full level
+    assert not latest(s2, specs)                    # a newer full level exists
+    assert latest(other1, specs)                    # greater level is another series
+    # delta spec alone (its previous missing from the list): counts
+    assert latest(sd, [x for x in specs if x["shortname"] != "spec-3"] , lambda s: s is sd)
+    # greater level is a delta spec: full spec below it still counts
+    assert latest(s3, specs)
+    # greater level does not pass the predicate: lower level counts,
+    # as long as it is not older than the current specification
+    assert latest(s2, specs, lambda s: s is s2)
+    # spec older than the series' current specification never counts
+    assert not latest(s1, specs, lambda s: s is s1)
+    # delta spec counts when the only full spec that passes is older
+    # than the current specification
+    assert latest(sd, specs, lambda s: s is sd or s is s1)
+    # delta spec does NOT count when a full level at/after the current
+    # specification passes
+    assert not latest(sd, specs, lambda s: s is sd or s is s3 or s is s2)

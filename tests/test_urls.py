@@ -126,3 +126,14 @@ def test_css_property_to_idl_attributes_f18():
         "WebkitBoxAlign",
         "webkitBoxAlign",
     ]
+
+
+def test_css_property_to_idl_attributes_reference_util_cases():
+    # the exact three cases from the reference's test/util.js:113-126
+    from reffy_spark.functions.text import css_property_to_idl_attributes as f
+
+    assert f("touch-action") == ["touch-action", "touchAction"]
+    assert f("-webkit-background-clip") == [
+        "-webkit-background-clip", "WebkitBackgroundClip", "webkitBackgroundClip"
+    ]
+    assert f("display") == ["display"]
