@@ -361,3 +361,92 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components + canonical-document dedup
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair table →
+    (doc_id, component) where ``component`` is the smallest doc id
+    reachable. Candidate PAIRS are only half of large-scale dedup: the
+    keep-one-per-cluster decision needs the transitive closure (a~b,
+    b~c ⇒ keep one of {a,b,c}), so this is the step between
+    ``minhash_pairs``/``simhash_pairs`` and the actual drop.
+
+    Algorithm: min-label propagation to fixpoint — labels start as the
+    node id; every iteration each node takes the min of its own and its
+    neighbors' labels (one shuffle per iteration over the edge list,
+    partial-aggregated map-side). Near-dup graphs from banded LSH are
+    union-of-cliques-ish with tiny diameters, so this converges in a
+    handful of rounds; the per-iteration driver action is the
+    convergence check (an iterative algorithm's BSP barrier, same
+    pattern as the crawl loop). At 10^10 scale swap in the
+    large-star/small-star variant to bound skew on giant components —
+    the interface stays (pairs) → (doc_id, component).
+    """
+    spark = pairs.sparkSession
+    # symmetrize once; self-loops are harmless and dropped by the min
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _i in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id, "inner")
+            .groupBy("src")
+            .agg(F.min("component").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("_nmin"), F.col("component"))
+                ).alias("component"),
+                (F.coalesce(F.col("_nmin"), F.col("component")) < F.col("component"))
+                .alias("_changed"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_near_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    doc_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one document per near-duplicate cluster (the smallest doc id
+    — the deterministic "primary copy" rule used across the dedupe
+    family); documents in no cluster pass through untouched."""
+    comp = connected_components(pairs, id_a, id_b).withColumnRenamed(
+        "doc_id", "_cc_id"
+    )
+    joined = docs.join(comp, docs[doc_col] == comp["_cc_id"], "left")
+    return (
+        joined.filter(
+            F.col("component").isNull() | (F.col("component") == F.col(doc_col))
+        )
+        .drop("_cc_id", "component")
+    )

@@ -1966,3 +1966,59 @@ ORACLE_POLITENESS_PERMITS = """
 
 EXT_QUERIES.update({"politeness_permits_stream": q_politeness_permits_stream})
 EXT_ORACLES.update({"politeness_permits_stream": ORACLE_POLITENESS_PERMITS})
+
+
+def _chain_pairs(spark, sf_dir):
+    # deterministic near-dup graph: docs with doc_id%10 in {0,1,2} edge to
+    # doc_id+1 → 4-chains {10k,10k+1,10k+2,10k+3} (diameter 3: the
+    # propagation genuinely iterates)
+    d = _docs(spark, sf_dir)
+    return d.filter(F.col("doc_id") % 10 <= 2).select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+
+
+def q_neardup_components(spark, sf_dir):
+    """Connected components over a near-dup pair table (the transitive
+    closure between candidate pairs and the keep-one-per-cluster drop)."""
+    from reffy_spark.operators.dedupe import connected_components
+
+    return connected_components(_chain_pairs(spark, sf_dir)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+ORACLE_NEARDUP_COMPONENTS = """
+    SELECT doc_id, doc_id - (doc_id % 10) AS component
+    FROM documents WHERE doc_id % 10 <= 3
+"""
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """Keep one document per near-dup cluster (smallest doc id), pass
+    unclustered docs through."""
+    from reffy_spark.operators.dedupe import dedup_near_canonical
+
+    d = _docs(spark, sf_dir)
+    out = dedup_near_canonical(d, _chain_pairs(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"))
+
+
+ORACLE_DEDUP_CANONICAL = """
+    SELECT doc_id FROM documents WHERE doc_id % 10 = 0 OR doc_id % 10 > 3
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "neardup_components": q_neardup_components,
+        "dedup_canonical": q_dedup_canonical,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "neardup_components": ORACLE_NEARDUP_COMPONENTS,
+        "dedup_canonical": ORACLE_DEDUP_CANONICAL,
+    }
+)

@@ -180,3 +180,44 @@ def test_probe_buckets_hamming_set(spark):
     probes = probe_buckets(vec, n_planes=6, hamming=1)
     assert qb in probes and len(probes) == 7
     assert all(bin(p ^ qb).count("1") <= 1 for p in probes)
+
+
+def test_connected_components_matches_union_find(spark):
+    # irregular graph (two chains bridged by an extra edge + an isolated
+    # pair) vs a driver-side union-find ground truth
+    from reffy_spark.operators.dedupe import connected_components
+
+    edges = [(1, 2), (2, 3), (10, 11), (11, 12), (3, 10), (50, 60)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long").repartition(4)
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    # the bridged chains collapse into ONE component rooted at 1
+    assert got[12] == 1 and got[60] == 50
+
+
+def test_dedup_near_canonical_keeps_one_per_cluster(spark):
+    from reffy_spark.operators.dedupe import dedup_near_canonical
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a long, id_b long")
+    kept = sorted(r["doc_id"] for r in dedup_near_canonical(docs, pairs).collect())
+    # {1,2,5} -> keep 1; {6,7} -> keep 6; 0,3,4 unclustered
+    assert kept == [0, 1, 3, 4, 6]
