@@ -75,11 +75,14 @@ STOPWORDS_DE = ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "
 
 
 def tokens_col(text: Column) -> Column:
-    """Whitespace tokenization; empty text → empty array."""
-    t = F.trim(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
-    )
+    """Whitespace tokenization; empty/whitespace-only text → empty array.
+
+    The empty-token filter matters for robustness: ``trim`` strips only
+    spaces, so text edged with tabs/newlines would otherwise yield
+    phantom "" tokens (and phantom n-grams downstream). The DuckDB
+    oracle twin (`_TOKS` in plans/entry_queries.py) applies the same
+    ``list_filter``."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
 
 
 def token_count_col(text: Column) -> Column:

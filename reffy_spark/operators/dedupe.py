@@ -70,11 +70,18 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingles (distinct), as an array<string> Column."""
+    """Word n-gram shingles (distinct), as an array<string> Column.
+
+    Docs shorter than n tokens get an empty array: Spark's
+    ``sequence(1, 0)`` DESCENDS to [1, 0] (unlike DuckDB's empty
+    ``range``), which would feed slice() an invalid 0 start."""
     toks = tokens_col(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)))
-    return F.array_distinct(
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

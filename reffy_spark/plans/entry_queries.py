@@ -408,7 +408,7 @@ ORACLE_DEDUP_EXACT = """
 
 # shared SQL fragments for the portable hash / shingles
 _H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
 
 
 def _shingles_sql(n: int = 3) -> str:

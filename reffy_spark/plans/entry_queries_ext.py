@@ -2022,3 +2022,202 @@ EXT_ORACLES.update(
         "dedup_canonical": ORACLE_DEDUP_CANONICAL,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-quality family: repetition profile, decontamination, sampling
+# (operators/corpus_quality.py — Gopher/C4/GPT-3-style pipeline steps)
+# ---------------------------------------------------------------------------
+
+_Q_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"
+_Q_LINES = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), "
+    "l -> l <> '')"
+)
+
+
+def _q_grams(n: int) -> str:
+    """Word n-grams WITH multiplicity (DuckDB twin of ngrams_col)."""
+    return (
+        f"list_transform(range(1, greatest(len({_Q_TOKS}) - {n - 1}, 0) + 1), "
+        f"i -> array_to_string(list_slice({_Q_TOKS}, i, i + {n - 1}), ' '))"
+    )
+
+
+def q_repetition_profile(spark, sf_dir):
+    from reffy_spark.operators.corpus_quality import repetition_profile
+
+    return repetition_profile(load(spark, sf_dir, "documents"))
+
+
+ORACLE_REPETITION_PROFILE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             {_Q_LINES} AS lines,
+             {_q_grams(2)} AS g2,
+             {_q_grams(5)} AS g5,
+             len({_Q_TOKS}) AS n_tokens,
+             (length(text) - length(replace(text, '#', '')))
+             + (length(text) - length(replace(text, '…', '')))
+             + (length(text) - length(replace(text, '...', ''))) / 3 AS sym_cnt
+      FROM documents
+    ),
+    flags AS (
+      SELECT doc_id,
+             CASE WHEN len(lines) = 0 THEN 0.0 ELSE ROUND(
+               len(list_filter(lines,
+                   l -> ends_with(l, '...') OR ends_with(l, '…')))::DOUBLE
+               / len(lines), 6) END AS ellipsis_line_frac,
+             CASE WHEN len(lines) = 0 THEN 0.0 ELSE ROUND(
+               len(list_filter(lines,
+                   l -> list_contains(['-', '*', '•'], substr(l, 1, 1))))::DOUBLE
+               / len(lines), 6) END AS bullet_line_frac,
+             CASE WHEN n_tokens = 0 THEN 0.0
+                  ELSE ROUND(sym_cnt::DOUBLE / n_tokens, 6) END AS symbol_word_ratio
+      FROM base
+    ),
+    items AS (
+      SELECT doc_id, 'line' AS kind, unnest(lines) AS item FROM base
+      UNION ALL SELECT doc_id, 'g2' AS kind, unnest(g2) AS item FROM base
+      UNION ALL SELECT doc_id, 'g5' AS kind, unnest(g5) AS item FROM base
+    ),
+    counted AS (
+      SELECT doc_id, kind, item, count(*) AS cnt FROM items GROUP BY 1, 2, 3
+    ),
+    per_kind AS (
+      SELECT doc_id, kind,
+             sum(cnt) AS n_items,
+             COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS dup_items,
+             sum(cnt * length(item)) AS tot_chars,
+             COALESCE(sum(cnt * length(item)) FILTER (WHERE cnt > 1), 0)
+               AS dup_chars,
+             max(cnt * length(item)) AS top_chars
+      FROM counted GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             COALESCE(max(n_items) FILTER (WHERE kind = 'line'), 0) AS n_lines,
+             ROUND(COALESCE(
+               max(dup_items) FILTER (WHERE kind = 'line')::DOUBLE
+               / NULLIF(max(n_items) FILTER (WHERE kind = 'line'), 0), 0), 6)
+               AS dup_line_frac,
+             ROUND(COALESCE(
+               max(dup_chars) FILTER (WHERE kind = 'line')::DOUBLE
+               / NULLIF(max(tot_chars) FILTER (WHERE kind = 'line'), 0), 0), 6)
+               AS dup_line_char_frac,
+             ROUND(COALESCE(
+               max(top_chars) FILTER (WHERE kind = 'g2')::DOUBLE
+               / NULLIF(max(tot_chars) FILTER (WHERE kind = 'g2'), 0), 0), 6)
+               AS top_2gram_char_frac,
+             ROUND(COALESCE(
+               max(dup_chars) FILTER (WHERE kind = 'g5')::DOUBLE
+               / NULLIF(max(tot_chars) FILTER (WHERE kind = 'g5'), 0), 0), 6)
+               AS dup_5gram_char_frac
+      FROM per_kind GROUP BY 1
+    )
+    SELECT f.doc_id,
+           COALESCE(p.n_lines, 0)::BIGINT AS n_lines,
+           COALESCE(p.dup_line_frac, 0.0) AS dup_line_frac,
+           COALESCE(p.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           f.ellipsis_line_frac,
+           f.bullet_line_frac,
+           COALESCE(p.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+           COALESCE(p.dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+           f.symbol_word_ratio
+    FROM flags f LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark = every doc with doc_id % 20 == 7 (a deterministic
+    synthetic eval set); flag corpus docs by 5-gram overlap."""
+    from reffy_spark.operators.corpus_quality import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 20 == 7)
+    return decontaminate(d, bench, n=5, threshold=0.2)
+
+
+ORACLE_DECONTAMINATE = f"""
+    WITH dg AS (
+      SELECT doc_id, unnest(list_distinct({_q_grams(5)})) AS gram FROM documents
+    ),
+    bg AS (
+      SELECT DISTINCT unnest(list_distinct({_q_grams(5)})) AS gram
+      FROM documents WHERE doc_id % 20 = 7
+    ),
+    ov AS (
+      SELECT doc_id, count(*) AS n_overlap FROM dg JOIN bg USING (gram)
+      GROUP BY 1
+    ),
+    base AS (
+      SELECT doc_id, len(list_distinct({_q_grams(5)})) AS n_grams FROM documents
+    )
+    SELECT b.doc_id,
+           b.n_grams::BIGINT AS n_grams,
+           COALESCE(o.n_overlap, 0)::BIGINT AS n_overlap,
+           ROUND(COALESCE(o.n_overlap::DOUBLE / NULLIF(b.n_grams, 0), 0), 6)
+             AS overlap_frac,
+           COALESCE(o.n_overlap::DOUBLE / NULLIF(b.n_grams, 0), 0) >= 0.2
+             AS contaminated
+    FROM base b LEFT JOIN ov o USING (doc_id)
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    from reffy_spark.operators.corpus_quality import stratified_sample
+
+    return stratified_sample(
+        load(spark, sf_dir, "documents"),
+        rates_per_mille={"en": 250, "fr": 500, "de": 750},
+        default_rate=1000,
+    )
+
+
+_Q_SW = {
+    "en": "['the','a','of','and','to','in','is','that','it','for']",
+    "fr": "['le','la','de','et','les','des','un','une','est','que']",
+    "de": "['der','die','das','und','ist','ein','eine','zu','den','von']",
+}
+
+ORACLE_STRATIFIED_SAMPLE = f"""
+    WITH base AS (
+      SELECT doc_id,
+             len(list_filter({_Q_TOKS}, t -> list_contains({_Q_SW['en']}, t))) AS en,
+             len(list_filter({_Q_TOKS}, t -> list_contains({_Q_SW['fr']}, t))) AS fr,
+             len(list_filter({_Q_TOKS}, t -> list_contains({_Q_SW['de']}, t))) AS de,
+             (('0x' || substr(md5('sample#' || doc_id), 1, 15))::BIGINT) % 1000
+               AS sample_bucket
+      FROM documents
+    ),
+    langed AS (
+      SELECT doc_id, sample_bucket,
+             CASE WHEN en >= fr AND en >= de AND en > 0 THEN 'en'
+                  WHEN fr >= de AND fr > 0 THEN 'fr'
+                  WHEN de > 0 THEN 'de'
+                  ELSE 'und' END AS lang_pred
+      FROM base
+    )
+    SELECT doc_id, lang_pred, sample_bucket::BIGINT AS sample_bucket,
+           (CASE lang_pred WHEN 'en' THEN 250 WHEN 'fr' THEN 500
+                 WHEN 'de' THEN 750 ELSE 1000 END)::BIGINT AS rate_per_mille
+    FROM langed
+    WHERE sample_bucket < CASE lang_pred WHEN 'en' THEN 250 WHEN 'fr' THEN 500
+                               WHEN 'de' THEN 750 ELSE 1000 END
+"""
+
+
+EXT_QUERIES.update(
+    {
+        "repetition_profile": q_repetition_profile,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+    }
+)
+EXT_ORACLES.update(
+    {
+        "repetition_profile": ORACLE_REPETITION_PROFILE,
+        "decontaminate": ORACLE_DECONTAMINATE,
+        "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    }
+)

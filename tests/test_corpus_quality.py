@@ -1,0 +1,129 @@
+"""Corpus-quality operators: Gopher-style repetition signals,
+benchmark decontamination, deterministic stratified sampling.
+
+The driver-testdata documents are single-line, so the line-level
+repetition math is exercised here on synthetic multi-line docs; the
+gram-level math is additionally oracle-checked end-to-end
+(`repetition_profile` / `decontaminate` / `stratified_sample` rows in
+the driver registry).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from reffy_spark.operators.corpus_quality import (
+    decontaminate,
+    repetition_profile,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        # 4 lines, "dup dup" twice -> dup_line_frac 0.5; one ellipsis line,
+        # one bullet line
+        (0, "dup dup\ndup dup\n- bullet item\ntrailing thought ...\n"),
+        # no repetition at all
+        (1, "every line here\nis completely different\n"),
+        # heavy 2-gram repetition: "na na na na na na"
+        (2, "na na na na na na"),
+        # empty doc
+        (3, "   \n  \n"),
+        # symbols: 2 '#' + 1 '…' + 1 '...' over 4 tokens
+        (4, "# tag # word… more..."),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _profile(docs):
+    return {r["doc_id"]: r.asDict() for r in repetition_profile(docs).collect()}
+
+
+def test_repetition_line_stats(docs):
+    p = _profile(docs)
+    assert p[0]["n_lines"] == 4
+    assert p[0]["dup_line_frac"] == pytest.approx(0.5)
+    # dup chars: 2 lines x len("dup dup")=7 -> 14 of (14+13+20)=47
+    assert p[0]["dup_line_char_frac"] == pytest.approx(14 / 47, abs=1e-6)
+    assert p[0]["ellipsis_line_frac"] == pytest.approx(0.25)
+    assert p[0]["bullet_line_frac"] == pytest.approx(0.25)
+    assert p[1]["dup_line_frac"] == 0.0
+    assert p[1]["dup_line_char_frac"] == 0.0
+
+
+def test_repetition_gram_stats(docs):
+    p = _profile(docs)
+    # doc 2: five identical "na na" 2-grams -> the top 2-gram covers all
+    # 2-gram chars, and every 5-gram ("na na na na na" x2) is duplicated
+    assert p[2]["top_2gram_char_frac"] == pytest.approx(1.0)
+    assert p[2]["dup_5gram_char_frac"] == pytest.approx(1.0)
+    # doc 1: no repeated grams
+    assert p[1]["dup_5gram_char_frac"] == 0.0
+    assert p[1]["top_2gram_char_frac"] < 0.5
+
+
+def test_repetition_empty_doc_zero_filled(docs):
+    p = _profile(docs)
+    assert p[3] == {
+        "doc_id": 3,
+        "n_lines": 0,
+        "dup_line_frac": 0.0,
+        "dup_line_char_frac": 0.0,
+        "ellipsis_line_frac": 0.0,
+        "bullet_line_frac": 0.0,
+        "top_2gram_char_frac": 0.0,
+        "dup_5gram_char_frac": 0.0,
+        "symbol_word_ratio": 0.0,
+    }
+
+
+def test_symbol_word_ratio(docs):
+    p = _profile(docs)
+    # 2 '#' + 1 '…' + 1 '...' over 5 tokens
+    assert p[4]["symbol_word_ratio"] == pytest.approx(4 / 5)
+
+
+def test_decontaminate_flags_overlapping_docs(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "one two three four five six seven"),
+            (2, "alpha beta gamma delta epsilon other tail"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in decontaminate(corpus, bench, n=5).collect()}
+    assert out[0]["contaminated"] and out[0]["overlap_frac"] == 1.0
+    assert not out[1]["contaminated"] and out[1]["n_overlap"] == 0
+    # doc 2 shares exactly the "alpha..epsilon" 5-gram: 1 of 3
+    assert out[2]["n_overlap"] == 1
+    assert out[2]["overlap_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["contaminated"]  # 1/3 >= 0.2
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rates = {"en": 250, "fr": 500, "de": 750}
+    a = stratified_sample(docs, rates, default_rate=1000)
+    b = stratified_sample(docs, rates, default_rate=1000)
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    # every kept row respects its stratum's bucket bound
+    assert a.filter(F.col("sample_bucket") >= F.col("rate_per_mille")).count() == 0
+    # rate=0 strata drop out entirely; rate=1000 keeps everything
+    none_kept = stratified_sample(
+        docs, {"en": 0, "fr": 0, "de": 0}, default_rate=0
+    )
+    assert none_kept.count() == 0
+    all_kept = stratified_sample(docs, {}, default_rate=1000)
+    assert all_kept.count() == docs.count()
+
+
+def test_repetition_profile_plan_has_no_python_udf(docs):
+    plan = repetition_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
