@@ -46,6 +46,10 @@ HEADLINE = [
     "minhash_pairs_fast",
     "simhash",
     "text_profile",
+    # explode-heavy repetition stats: the dominant-cost LLM-pipeline
+    # profiling pass (lines + 2-grams + 5-grams per doc, one tagged
+    # explode, partial agg keyed (doc_id, kind, item))
+    "repetition_profile",
     "knn_brute",
     "ann_topk_multiprobe",
     "extract_headings",

@@ -232,3 +232,22 @@ def css_property_to_idl_attributes_col(prop: Column) -> Column:
     return F.when(
         prop.startswith("-webkit-"), F.concat(arr, F.array(webkit))
     ).otherwise(arr)
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish regex token counting
+# ---------------------------------------------------------------------------
+
+# GPT-2-style pre-tokenizer split pattern, restricted to constructs with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): no
+# lookahead, ASCII classes, leftmost-first alternation. Contractions,
+# optionally-space-prefixed letter runs / digit runs / punctuation runs.
+BPE_SPLIT_PATTERN = (
+    r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^ \t\n\rA-Za-z0-9']+|'"
+)
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """Number of BPE-ish pre-tokenizer pieces (proxy for LLM token count;
+    whitespace token counts undercount code/punctuation-heavy text)."""
+    return F.regexp_count(text, F.lit(BPE_SPLIT_PATTERN)).cast("long")

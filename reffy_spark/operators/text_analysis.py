@@ -55,3 +55,33 @@ def language_partition(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Add the predicted language — the partition column a multilingual
     corpus would be written by (``partitionBy("lang_pred")``)."""
     return docs.withColumn("lang_pred", lang_id_col(F.col(text_col)))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace vs BPE-ish token counts per document.
+
+    The two counts bracket real LLM tokenizer behavior: whitespace
+    undercounts punctuation/code; the GPT-2-style split overcounts
+    agglutinative words. ``bpe_per_ws`` is the budget-planning ratio."""
+    from reffy_spark.functions.text import bpe_token_count_col
+
+    t = F.col(text_col)
+    ws = token_count_col(t).cast("long")
+    bpe = bpe_token_count_col(t)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(
+            F.when(ws == 0, F.lit(0.0)).otherwise(
+                bpe.cast("double") / ws.cast("double")
+            ),
+            6,
+        ).alias("bpe_per_ws"),
+        F.round(
+            F.when(bpe == 0, F.lit(0.0)).otherwise(
+                F.length(t).cast("double") / bpe.cast("double")
+            ),
+            6,
+        ).alias("chars_per_bpe"),
+    )

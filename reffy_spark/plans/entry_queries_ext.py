@@ -2221,3 +2221,37 @@ EXT_ORACLES.update(
         "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     }
 )
+
+
+def q_token_stats(spark, sf_dir):
+    from reffy_spark.operators.text_analysis import token_stats
+
+    return token_stats(load(spark, sf_dir, "documents"))
+
+
+def _bpe_pat_sql() -> str:
+    from reffy_spark.functions.text import BPE_SPLIT_PATTERN
+
+    return BPE_SPLIT_PATTERN.replace("'", "''")
+
+
+ORACLE_TOKEN_STATS = f"""
+    WITH base AS (
+      SELECT doc_id,
+             len({_Q_TOKS}) AS ws_tokens,
+             len(regexp_extract_all(text, '{_bpe_pat_sql()}')) AS bpe_tokens,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           ws_tokens::BIGINT AS ws_tokens,
+           bpe_tokens::BIGINT AS bpe_tokens,
+           ROUND(CASE WHEN ws_tokens = 0 THEN 0.0
+                 ELSE bpe_tokens::DOUBLE / ws_tokens END, 6) AS bpe_per_ws,
+           ROUND(CASE WHEN bpe_tokens = 0 THEN 0.0
+                 ELSE n_chars::DOUBLE / bpe_tokens END, 6) AS chars_per_bpe
+    FROM base
+"""
+
+EXT_QUERIES.update({"token_stats": q_token_stats})
+EXT_ORACLES.update({"token_stats": ORACLE_TOKEN_STATS})

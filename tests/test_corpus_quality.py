@@ -127,3 +127,30 @@ def test_stratified_sample_deterministic_and_rate_bounded(spark, sf_dir):
 def test_repetition_profile_plan_has_no_python_udf(docs):
     plan = repetition_profile(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_token_count(spark):
+    from reffy_spark.operators.text_analysis import token_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "Hello world, it's 2026!"),
+            (1, ""),
+            (2, "plain words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in token_stats(docs).collect()}
+    # Hello | world | , | it | 's | 2026 | !  -> 7 pieces, 4 ws tokens
+    assert out[0]["bpe_tokens"] == 7
+    assert out[0]["ws_tokens"] == 4
+    assert out[0]["bpe_per_ws"] == pytest.approx(7 / 4)
+    assert out[1] == {
+        "doc_id": 1,
+        "ws_tokens": 0,
+        "bpe_tokens": 0,
+        "bpe_per_ws": 0.0,
+        "chars_per_bpe": 0.0,
+    }
+    # punctuation-free text: counts agree
+    assert out[2]["bpe_tokens"] == out[2]["ws_tokens"] == 4
