@@ -223,3 +223,140 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+
+def _cos_py(a, b) -> float:
+    """Driver-side cosine, same left-fold order as ``cosine_col`` /
+    DuckDB's list_sum — used only to pick probe centroids."""
+    import math
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += float(x) * float(y)
+    for x in a:
+        na += float(x) * float(x)
+    for y in b:
+        nb += float(y) * float(y)
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def ivf_centroids(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the embeddings of the n lowest
+    ids. Production IVF trains centroids with k-means; the *engine*
+    mechanics this operator exercises — assignment, inverted lists,
+    nprobe-bounded search — are identical for any fixed quantizer, and a
+    fixed one keeps the DuckDB oracle able to recompute it."""
+    rows = (
+        emb.filter(F.col(id_col) < n_centroids)
+        .orderBy(id_col)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()  # quantizer metadata: n_centroids rows, driver-sized
+    )
+    return [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in rows]
+
+
+def ivf_assignments(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, ties to
+    the lowest centroid id). Pure Column fold over centroid literals —
+    no shuffle, no window: the argmax is array_max over an array of
+    (cosine, -cid) structs. The vector's own norm is computed once and
+    shared across centroids (manual CSE)."""
+    v = F.col(vec_col)
+    vnorm = norm_col(v)
+    entries = F.array(
+        *[
+            F.struct(
+                (
+                    dot_col(v, F.array(*[F.lit(x) for x in cvec]))
+                    / (vnorm * F.lit(_norm_py(cvec)))
+                ).alias("cos"),
+                F.lit(-cid).cast("long").alias("ncid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+    best = F.array_max(entries)
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("embedding"),
+        (-best["ncid"]).cast("long").alias("centroid_id"),
+    )
+
+
+def _norm_py(vec) -> float:
+    import math
+
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def ivf_cells(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Inverted-list sizes (centroid_id, n_vectors) — the partition-skew
+    diagnostic for an IVF index, and full coverage of the assignment
+    math (every vector, not just probed cells)."""
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    return (
+        ivf_assignments(emb, cents, id_col, vec_col)
+        .groupBy("centroid_id")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+def ann_topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN: scan only the ``nprobe`` inverted lists whose
+    centroids are nearest the query.
+
+    At 100 TB the assignments table is written
+    ``partitionBy(centroid_id)`` once; a query prunes to nprobe
+    partitions (static partition pruning on the IN list — no index
+    structure beyond the layout). This complements ``ann_topk_lsh``:
+    LSH buckets are query-independent bit signatures; IVF cells adapt
+    to the data distribution via the (trained) quantizer."""
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    ranked = sorted(
+        ((cid, _cos_py(query_vec, cvec)) for cid, cvec in cents),
+        key=lambda t: (-t[1], t[0]),
+    )
+    probes = [cid for cid, _ in ranked[:nprobe]]
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    asg = ivf_assignments(emb, cents, id_col, vec_col)
+    return (
+        asg.filter(F.col("centroid_id").isin(probes))
+        .select(
+            "vec_id", F.round(cosine_col(F.col("embedding"), q), 6).alias("cosine")
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )

@@ -2255,3 +2255,87 @@ ORACLE_TOKEN_STATS = f"""
 
 EXT_QUERIES.update({"token_stats": q_token_stats})
 EXT_ORACLES.update({"token_stats": ORACLE_TOKEN_STATS})
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (operators/similarity.py ivf_* family)
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+
+def _cos_sql(a: str, b: str) -> str:
+    def ss(x, y):
+        return (
+            f"list_sum(list_transform(range(1, 65), "
+            f"i -> ({x}[i]::DOUBLE) * ({y}[i]::DOUBLE)))"
+        )
+
+    return f"{ss(a, b)} / (sqrt({ss(a, a)}) * sqrt({ss(b, b)}))"
+
+
+_IVF_ASG_CTE = f"""
+    cen AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_IVF_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_cos_sql('e.embedding', 'c.cvec')} AS cos
+      FROM embeddings e CROSS JOIN cen c
+    ),
+    asg AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+def q_ivf_cells(spark, sf_dir):
+    from reffy_spark.operators import similarity as S
+
+    return S.ivf_cells(load(spark, sf_dir, "embeddings"), n_centroids=_IVF_K)
+
+
+ORACLE_IVF_CELLS = f"""
+    WITH {_IVF_ASG_CTE}
+    SELECT cid::BIGINT AS centroid_id, count(*)::BIGINT AS n_vectors
+    FROM asg GROUP BY 1
+"""
+
+
+def q_ann_topk_ivf(spark, sf_dir):
+    from reffy_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return S.ann_topk_ivf(
+        emb, list(q0), k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE
+    )
+
+
+ORACLE_ANN_TOPK_IVF = f"""
+    WITH {_IVF_ASG_CTE},
+    probes AS (
+      SELECT cid FROM scored WHERE vec_id = 0
+      ORDER BY cos DESC, cid LIMIT {_IVF_NPROBE}
+    )
+    SELECT a.vec_id, ROUND({_cos_sql('a.embedding', 'q.embedding')}, 6) AS cosine
+    FROM asg a
+    JOIN probes p ON a.cid = p.cid
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+EXT_QUERIES.update(
+    {"ivf_cells": q_ivf_cells, "ann_topk_ivf": q_ann_topk_ivf}
+)
+EXT_ORACLES.update(
+    {"ivf_cells": ORACLE_IVF_CELLS, "ann_topk_ivf": ORACLE_ANN_TOPK_IVF}
+)

@@ -221,3 +221,54 @@ def test_dedup_near_canonical_keeps_one_per_cluster(spark):
     kept = sorted(r["doc_id"] for r in dedup_near_canonical(docs, pairs).collect())
     # {1,2,5} -> keep 1; {6,7} -> keep 6; 0,3,4 unclustered
     assert kept == [0, 1, 3, 4, 6]
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_assignment_is_zero_shuffle(spark, sf_dir):
+    from reffy_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = S.ivf_centroids(emb, n_centroids=8)
+    plan = (
+        S.ivf_assignments(emb, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # argmax over centroid literals: no exchange, no window, no python
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_ivf_cells_partition_all_vectors(spark, sf_dir):
+    from reffy_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cells = S.ivf_cells(emb, n_centroids=8).collect()
+    assert sum(r["n_vectors"] for r in cells) == emb.count()
+    assert len(cells) <= 8
+
+
+def test_ivf_recall_vs_brute(spark, sf_dir):
+    from reffy_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = list(emb.filter("vec_id = 0").first()["embedding"])
+    brute = [r["vec_id"] for r in S.cosine_topk(emb, q0, k=10).collect()]
+    ivf = [
+        r["vec_id"]
+        for r in S.ann_topk_ivf(emb, q0, k=10, n_centroids=8, nprobe=2).collect()
+    ]
+    recall = len(set(brute) & set(ivf)) / 10
+    assert recall >= 0.5  # nprobe=2 of 8 cells on synthetic vectors
+    # probing every cell recovers brute force exactly
+    full = [
+        r["vec_id"]
+        for r in S.ann_topk_ivf(emb, q0, k=10, n_centroids=8, nprobe=8).collect()
+    ]
+    assert full == brute
