@@ -35,10 +35,15 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from reffy_spark.functions.text import lang_id_col, token_count_col, tokens_col
+from reffy_spark.functions.text import (
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+    tokens_col,
+)
 from reffy_spark.operators.dedupe import h60
 
 __all__ = [
@@ -300,4 +305,51 @@ def stratified_sample(
             rate.cast("long").alias("rate_per_mille"),
         )
         .filter(F.col("sample_bucket") < F.col("rate_per_mille"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document caps
+# ---------------------------------------------------------------------------
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = 10,
+    salts: int = 8,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep at most ``cap`` documents per domain, best-quality first
+    (ties to the lowest id). The URL-level curation step of C4/
+    RefinedWeb-style pipelines: without it one mega-host dominates the
+    training mix.
+
+    Scale shape: a plain ``Window.partitionBy(domain)`` puts an entire
+    hot domain in one task — the same skew failure the politeness rank
+    had (see ``frontier._exact_group_rank``). Stage 1 takes a local
+    top-``cap`` per (domain, salt) — bounded input per task regardless
+    of domain size; stage 2 ranks the ≤ salts·cap survivors per domain.
+    Every global top-``cap`` row ranks ≤ cap within its own salt too, so
+    the composition is exact, not approximate.
+    """
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        quality_score_col(F.col(text_col)).alias("quality"),
+    )
+    order = [F.col("quality").desc(), F.col("doc_id")]
+    w1 = Window.partitionBy("domain", "salt").orderBy(*order)
+    pruned = (
+        scored.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salts)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= cap)
+        .drop("salt", "r1")
+    )
+    w2 = Window.partitionBy("domain").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= cap)
+        .select("doc_id", "domain", "quality", F.col("rank").cast("int").alias("rank"))
     )

@@ -2339,3 +2339,41 @@ EXT_QUERIES.update(
 EXT_ORACLES.update(
     {"ivf_cells": ORACLE_IVF_CELLS, "ann_topk_ivf": ORACLE_ANN_TOPK_IVF}
 )
+
+
+def q_domain_cap(spark, sf_dir):
+    from reffy_spark.operators.corpus_quality import domain_cap
+
+    return domain_cap(load(spark, sf_dir, "documents"), cap=10)
+
+
+ORACLE_DOMAIN_CAP = f"""
+    WITH p AS (
+      SELECT doc_id, source,
+             len({_Q_TOKS}) AS n_tokens,
+             length(text) AS n_chars,
+             len(list_filter({_Q_TOKS}, t -> list_contains({_Q_SW['en']}, t)))
+               AS sw_en
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             ROUND(((CASE WHEN n_tokens BETWEEN 10 AND 100000
+                          THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN n_tokens > 0 AND n_chars::DOUBLE / n_tokens
+                          BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN n_tokens > 0
+                          AND sw_en::DOUBLE / n_tokens >= 0.01
+                          THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+      FROM p
+    )
+    SELECT doc_id, source AS domain, quality, rank FROM (
+      SELECT doc_id, source, quality,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY quality DESC, doc_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+"""
+
+EXT_QUERIES.update({"domain_cap": q_domain_cap})
+EXT_ORACLES.update({"domain_cap": ORACLE_DOMAIN_CAP})

@@ -154,3 +154,37 @@ def test_bpe_token_count(spark):
     }
     # punctuation-free text: counts agree
     assert out[2]["bpe_tokens"] == out[2]["ws_tokens"] == 4
+
+
+def test_domain_cap_matches_direct_window(spark, sf_dir):
+    """The salted two-phase top-k must equal a plain (scale-unsafe)
+    Window.partitionBy(domain) ranking exactly — same politeness-rank
+    exactness contract as frontier._exact_group_rank."""
+    from pyspark.sql import Window
+
+    from reffy_spark.functions.text import quality_score_col
+    from reffy_spark.operators.corpus_quality import domain_cap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["domain"], r["rank"], r["doc_id"])
+        for r in domain_cap(docs, cap=5, salts=4).collect()
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    direct = sorted(
+        (r["source"], r["rank"], r["doc_id"])
+        for r in docs.select(
+            "doc_id", "source", quality_score_col(F.col("text")).alias("quality")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    assert got == direct
+    # every domain is capped
+    per_dom = {}
+    for dom, _, _ in got:
+        per_dom[dom] = per_dom.get(dom, 0) + 1
+    assert max(per_dom.values()) <= 5
