@@ -88,21 +88,37 @@ def canonicalize_url_py(url: str) -> str:
 
 
 def url_canon_py(url: str) -> str:
-    """Frontier canonical key: RFC 3986 normalize + reference canonicalize."""
+    """Frontier canonical key: RFC 3986 normalize + reference canonicalize.
+
+    The output is stripped: fragment-stripping can expose a trailing
+    space from inside a malformed path ("/p #f" → "/p "), and the
+    URL-seen set requires canon to be IDEMPOTENT — otherwise a page's
+    own canonical URL, re-extracted, would re-enter the frontier
+    (property-tested in tests/test_properties.py)."""
     url = url.strip()
     try:
         parts = urlsplit(url)
     except ValueError:
-        return canonicalize_url_py(url)
+        return canonicalize_url_py(url).strip()
     scheme = parts.scheme.lower()
     netloc = parts.netloc.lower()
+    # Drop the ORIGINAL scheme's default port ("http://x:80" → "http://x"),
+    # then apply the reference's http→https rewrite, then drop the NEW
+    # scheme's default port ("http://x:443" → "https://x:443" → "https://x").
+    # Both drops are needed for one-pass idempotence: rewriting first would
+    # keep ":80"; dropping only first would leave ":443" for a second pass.
     dp = _DEFAULT_PORTS.get(scheme)
     if dp and netloc.endswith(dp):
         netloc = netloc[: -len(dp)]
+    if scheme == "http":
+        scheme = "https"
+        dp = _DEFAULT_PORTS.get(scheme)
+        if dp and netloc.endswith(dp):
+            netloc = netloc[: -len(dp)]
     path = _pct_normalize(parts.path)
     query = _pct_normalize(parts.query)
     u = urlunsplit((scheme, netloc, path, query, ""))  # fragment stripped
-    return canonicalize_url_py(u)
+    return canonicalize_url_py(u).strip()
 
 
 def host_of_py(url: str) -> str:
@@ -156,18 +172,23 @@ def canonicalize_url_col(url: Column) -> Column:
 
 
 def _lower_scheme_host(url: Column) -> Column:
-    """Lowercase the scheme://host[:port] prefix, drop default ports."""
+    """Lowercase the scheme://host[:port] prefix; drop the original
+    scheme's default port, rewrite http→https (reference canonicalizeUrl
+    rule), then drop :443 — both drops for one-pass idempotence, see
+    ``url_canon_py``."""
     prefix = F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
     rest = F.substring(url, F.length(prefix) + F.lit(1), F.lit(2 ** 30))
     prefix = F.lower(prefix)
-    prefix = F.regexp_replace(prefix, r"^(https://[^/:]*):443$", "$1")
     prefix = F.regexp_replace(prefix, r"^(http://[^/:]*):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^http://", "https://")
+    prefix = F.regexp_replace(prefix, r"^(https://[^/:]*):443$", "$1")
     return F.when(prefix == "", url).otherwise(F.concat(prefix, rest))
 
 
 def url_canon_col(url: Column) -> Column:
-    """JVM-only url_canon: correct for URLs with no percent-escapes."""
-    return canonicalize_url_col(_lower_scheme_host(F.trim(url)))
+    """JVM-only url_canon: correct for URLs with no percent-escapes.
+    Output-trimmed like ``url_canon_py`` (idempotence — see there)."""
+    return F.trim(canonicalize_url_col(_lower_scheme_host(F.trim(url))))
 
 
 @pandas_udf(StringType())

@@ -1,0 +1,123 @@
+"""Hypothesis property tests over the pure-Python kernel twins.
+
+The reference has no property-based testing (SURVEY.md §5); these guard
+the invariants the distributed plans *assume* — canonicalization
+idempotence (the URL-seen set dedupes on canon(url): a non-idempotent
+canon would let the same page re-enter the frontier), bucket ranges,
+and text-kernel stability. No SparkSession: every function under test
+is the driver-side twin of a Column kernel, bit-compatibility with the
+Column versions is covered by the engine/oracle suites.
+"""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from reffy_spark.functions.text import (
+    clean_method_name_py,
+    normalize_ws_py,
+    trim_spaces_py,
+)
+from reffy_spark.functions.urls import (
+    canonicalize_url_py,
+    host_group_py,
+    url_canon_py,
+)
+from reffy_spark.operators.similarity import _cos_py, lsh_bucket_py
+
+# URL-ish generator: scheme://host[:port]/path[?query][#fragment] from a
+# deliberately nasty alphabet (mixed case, percent signs, unicode)
+_hostchars = st.text(string.ascii_letters + string.digits + ".-", min_size=1, max_size=20)
+_pathchars = st.text(
+    string.ascii_letters + string.digits + "/%._~!$&'()*+,;=:@- é☃", max_size=30
+)
+_urls = st.builds(
+    lambda scheme, host, port, path, frag: (
+        f"{scheme}://{host}{port}/{path}{frag}"
+    ),
+    st.sampled_from(["http", "HTTP", "https", "HTTPS", "hTtPs"]),
+    _hostchars,
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    _pathchars,
+    st.sampled_from(["", "#frag", "#", "#a/b"]),
+)
+
+
+@given(_urls)
+@settings(max_examples=200, deadline=None)
+def test_url_canon_idempotent(url):
+    once = url_canon_py(url)
+    assert url_canon_py(once) == once
+
+
+@given(_urls)
+@settings(max_examples=200, deadline=None)
+def test_canonicalize_idempotent_and_fragment_free(url):
+    once = canonicalize_url_py(url)
+    assert canonicalize_url_py(once) == once
+    assert "#" not in url_canon_py(url)
+
+
+@given(_urls)
+@settings(max_examples=200, deadline=None)
+def test_host_group_stable_under_canon(url):
+    # politeness groups on host: canonicalization must not move a URL
+    # across host groups (it only case-folds/normalizes within one)
+    assert host_group_py(url_canon_py(url)) == host_group_py(url_canon_py(url_canon_py(url)))
+
+
+_texts = st.text(
+    string.ascii_letters + string.digits + " \t\n.,;:!?#…'-*•", max_size=200
+)
+
+
+@given(_texts)
+@settings(max_examples=200, deadline=None)
+def test_normalize_ws_idempotent(text):
+    once = normalize_ws_py(text)
+    assert normalize_ws_py(once) == once
+    assert "  " not in once and "\n" not in once and "\t" not in once
+
+
+@given(_texts)
+@settings(max_examples=200, deadline=None)
+def test_trim_spaces_idempotent_preserves_line_count(text):
+    once = trim_spaces_py(text)
+    assert trim_spaces_py(once) == once
+    assert len(once.split("\n")) == len(text.split("\n"))
+    # no trailing spaces survive on any line
+    assert all(not line.endswith(" ") for line in once.split("\n"))
+
+
+@given(st.text(string.ascii_letters + " []().,", max_size=60))
+@settings(max_examples=200, deadline=None)
+def test_clean_method_name_idempotent(name):
+    once = clean_method_name_py(name)
+    assert clean_method_name_py(once) == once
+    assert "[" not in once and "]" not in once
+
+
+_vecs = st.lists(
+    st.floats(min_value=-10, max_value=10, allow_nan=False).filter(
+        lambda x: abs(x) > 1e-9
+    ),
+    min_size=4,
+    max_size=16,
+)
+
+
+@given(_vecs, st.integers(min_value=1, max_value=12))
+@settings(max_examples=100, deadline=None)
+def test_lsh_bucket_in_range_and_deterministic(vec, n_planes):
+    b = lsh_bucket_py(vec, n_planes)
+    assert 0 <= b < (1 << n_planes)
+    assert lsh_bucket_py(vec, n_planes) == b
+
+
+@given(_vecs)
+@settings(max_examples=100, deadline=None)
+def test_cosine_self_and_symmetry(vec):
+    assert abs(_cos_py(vec, vec) - 1.0) < 1e-9
+    rev = [-x for x in vec]
+    assert abs(_cos_py(vec, rev) + 1.0) < 1e-9
