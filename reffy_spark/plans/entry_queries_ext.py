@@ -2377,3 +2377,100 @@ ORACLE_DOMAIN_CAP = f"""
 
 EXT_QUERIES.update({"domain_cap": q_domain_cap})
 EXT_ORACLES.update({"domain_cap": ORACLE_DOMAIN_CAP})
+
+
+# ---------------------------------------------------------------------------
+# idlparsed full webidl2-shaped AST (closes the disclosed simplified-AST
+# divergence: structured idlType records, extended-attribute objects,
+# argument records — src/postprocessing/idlparsed.js stores the full
+# webidl2.js parse; see functions/webidl_ast.py)
+# ---------------------------------------------------------------------------
+
+
+def q_idlparsed_ast(spark, sf_dir):
+    """Full idlparsed report in the reference's exact payload shape over
+    the same synthetic IDL as idl_members; one canonical-JSON report per
+    url. The oracle is a hand-embedded webidl2.js-shape template — NOT
+    generated from the parser — so it independently pins the AST
+    contract."""
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    i = _s(F.col("doc_id"))
+    overload = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.lit("  undefined m"), i, F.lit("(DOMString a);\n")),
+    ).otherwise(F.lit(""))
+    idl = F.concat(
+        F.lit("[Exposed=Window]\ninterface I"), i, F.lit(" {\n"),
+        F.lit("  attribute DOMString attr"), i, F.lit(";\n"),
+        F.lit("  undefined m"), i, F.lit("();\n"),
+        overload,
+        F.lit("};\n"),
+    )
+    extracts = d.select(
+        F.concat(F.lit("https://idl.test/d"), i, F.lit("/")).alias("url"),
+        idl.alias("idl"),
+    )
+    return PP.idlparsed(extracts, ast=True)
+
+
+def _ast_oracle_template(overload: bool) -> str:
+    """The expected canonical-JSON report with `{I}` where doc_id goes.
+    Transcribed from the webidl2.js AST shape (its public README "Data
+    types"); \\n stays a literal two-char escape, as in the JSON."""
+    frag_ov = r"\n  undefined m{I}(DOMString a);" if overload else ""
+    member_ov = (
+        ', {"arguments": [{"default": null, "extAttrs": [], "idlType": '
+        '{"extAttrs": [], "generic": "", "idlType": "DOMString", '
+        '"nullable": false, "type": "argument-type", "union": false}, '
+        '"name": "a", "optional": false, "type": "argument", '
+        '"variadic": false}], "extAttrs": [], "idlType": {"extAttrs": [], '
+        '"generic": "", "idlType": "undefined", "nullable": false, '
+        '"type": "return-type", "union": false}, "name": "m{I}", '
+        '"special": "", "type": "operation"}'
+    ) if overload else ""
+    return (
+        '{"dependencies": {"I{I}": []}, "exposed": {"Window": ["I{I}"]}, '
+        '"externalDependencies": [], "globals": {}, '
+        '"hasObsoleteIdl": false, "idlExtendedNames": {}, '
+        '"idlNames": {"I{I}": {"extAttrs": [{"arguments": [], '
+        '"name": "Exposed", "rhs": {"type": "identifier", '
+        '"value": "Window"}, "type": "extended-attribute"}], '
+        r'"fragment": "[Exposed=Window]\ninterface I{I} {\n'
+        r"  attribute DOMString attr{I};\n  undefined m{I}();"
+        + frag_ov +
+        r'\n};", "inheritance": null, "members": '
+        '[{"extAttrs": [], "idlType": {"extAttrs": [], "generic": "", '
+        '"idlType": "DOMString", "nullable": false, '
+        '"type": "attribute-type", "union": false}, "name": "attr{I}", '
+        '"readonly": false, "special": "", "type": "attribute"}, '
+        '{"arguments": [], "extAttrs": [], "idlType": {"extAttrs": [], '
+        '"generic": "", "idlType": "undefined", "nullable": false, '
+        '"type": "return-type", "union": false}, "name": "m{I}", '
+        '"special": "", "type": "operation"}'
+        + member_ov +
+        '], "name": "I{I}", "partial": false, "type": "interface"}}, '
+        '"jsNames": {"constructors": {}, "functions": {"Window": '
+        '["I{I}"]}}}'
+    )
+
+
+def _ast_template_sql(overload: bool) -> str:
+    """SQL expression rebuilding the template with doc_id spliced in."""
+    parts = _ast_oracle_template(overload).split("{I}")
+    quoted = [
+        "'" + p.replace("'", "''") + "'" for p in parts
+    ]
+    return " || doc_id || ".join(quoted)
+
+
+ORACLE_IDLPARSED_AST = f"""
+    SELECT 'https://idl.test/d' || doc_id || '/' AS url,
+           CASE WHEN doc_id % 4 = 0
+                THEN {_ast_template_sql(True)}
+                ELSE {_ast_template_sql(False)}
+           END AS idlparsed
+    FROM documents
+"""
+
+EXT_QUERIES["idlparsed_ast"] = q_idlparsed_ast
+EXT_ORACLES["idlparsed_ast"] = ORACLE_IDLPARSED_AST

@@ -261,15 +261,26 @@ def series_latest(
 # --------------------------------------------------------------------------
 
 
-def idlparsed(extracts: DataFrame, idl_col: str = "idl", key: str = "url") -> DataFrame:
+def idlparsed(
+    extracts: DataFrame,
+    idl_col: str = "idl",
+    key: str = "url",
+    ast: bool = False,
+) -> DataFrame:
     """Parse each spec's IDL dump into the idlparsed report
-    (parse-webidl.js:85-130) — an Arrow-batched stage over (url, idl)."""
+    (parse-webidl.js:85-130) — an Arrow-batched stage over (url, idl).
+    ``ast=True`` emits FULL webidl2.js-shaped constructs (the reference's
+    exact payload — structured idlType/extAttrs/default records, see
+    ``functions/webidl_ast.py``) instead of the simplified normal form."""
     import json
     from collections.abc import Iterator
 
     import pandas as pd
 
     from reffy_spark.functions.webidl import parse_idl
+
+    if ast:
+        from reffy_spark.functions.webidl_ast import build_report_ast
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
@@ -280,7 +291,7 @@ def idlparsed(extracts: DataFrame, idl_col: str = "idl", key: str = "url") -> Da
                     text = json.loads(idl) if idl and idl.startswith('"') else idl
                 except ValueError:
                     text = idl
-                report = parse_idl(text or "")
+                report = (build_report_ast if ast else parse_idl)(text or "")
                 out.append({key: url, "idlparsed": json.dumps(report, sort_keys=True)})
             yield pd.DataFrame(out, columns=[key, "idlparsed"])
 
@@ -1511,7 +1522,7 @@ def backrefs_crawl(spark, results: list[dict]) -> dict[str, list[dict]]:
     return out
 
 
-def idlparsed_run(spec: dict) -> dict:
+def idlparsed_run(spec: dict, ast: bool = False) -> dict:
     """Spec-level idlparsed post-processor, dict form
     (src/postprocessing/idlparsed.js run():15-177, tested by
     test/generate-idlparsed.js): parse the spec's raw IDL, store the
@@ -1522,8 +1533,13 @@ def idlparsed_run(spec: dict) -> dict:
 
     The distributed twin is ``idlparsed`` + ``idl_dfn_hrefs``; this
     wrapper exists for per-spec consumers (markdown report, idlnames) and
-    reference-parity tests. Enum values are plain strings in our parsed
-    shape, so enum-value linking happens at the relational layer only.
+    reference-parity tests. With ``ast=True`` the report carries FULL
+    webidl2.js-shaped constructs (structured idlType records, extended-
+    attribute objects, default/const value records — the reference's
+    exact payload shape, see ``functions/webidl_ast.py``); the default
+    is the simplified normal form the oracles assert against. Enum
+    values are plain strings in the simplified shape, so enum-value
+    linking happens at the relational layer only.
     """
     from reffy_spark.functions.webidl import parse_idl
 
@@ -1534,6 +1550,13 @@ def idlparsed_run(spec: dict) -> dict:
     if err is not None:
         spec["idlparsed"] = err
         return spec
+    if ast:
+        from reffy_spark.functions.webidl_ast import build_report_ast
+
+        # the lenient simplified parse above already vouched the IDL is
+        # well-formed, so the strict AST parse should not throw; if it
+        # does, surface it (a parser gap, not a spec error)
+        report = build_report_ast(spec["idl"])
     spec["idlparsed"] = report
 
     dfns = spec.get("dfns")
