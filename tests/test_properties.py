@@ -121,3 +121,83 @@ def test_cosine_self_and_symmetry(vec):
     assert abs(_cos_py(vec, vec) - 1.0) < 1e-9
     rev = [-x for x in vec]
     assert abs(_cos_py(vec, rev) + 1.0) < 1e-9
+
+
+# --- similarity kernels -----------------------------------------------------
+
+from reffy_spark.operators.similarity import probe_buckets
+
+
+@given(_vecs, st.integers(min_value=2, max_value=10), st.integers(min_value=0, max_value=2))
+@settings(max_examples=100, deadline=None)
+def test_probe_buckets_hamming_ball(vec, n_planes, hamming):
+    from reffy_spark.operators.similarity import lsh_bucket_py
+
+    qb = lsh_bucket_py(vec, n_planes)
+    probes = probe_buckets(vec, n_planes, hamming)
+    # the exact bucket is always probed, every probe is in range and
+    # within `hamming` bit flips of it, and the ball is complete
+    assert qb in probes
+    for b in probes:
+        assert 0 <= b < (1 << n_planes)
+        assert bin(b ^ qb).count("1") <= hamming
+    expected = sum(
+        __import__("math").comb(n_planes, r) for r in range(hamming + 1)
+    )
+    assert len(probes) == expected
+
+
+@given(_vecs, st.floats(min_value=0.1, max_value=50, allow_nan=False))
+@settings(max_examples=100, deadline=None)
+def test_cosine_scale_invariant(vec, scale):
+    from reffy_spark.operators.similarity import _cos_py
+
+    other = [x + 1.0 for x in vec]
+    a = _cos_py(vec, other)
+    b = _cos_py([x * scale for x in vec], other)
+    assert abs(a - b) < 1e-6
+
+
+# --- F18 css property → IDL attribute names ---------------------------------
+
+from reffy_spark.functions.text import css_property_to_idl_attributes
+
+
+@given(
+    st.lists(
+        st.text(string.ascii_lowercase + string.digits, min_size=1, max_size=6),
+        min_size=1,
+        max_size=4,
+    ).map("-".join),
+    st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_css_to_idl_attribute_shapes(prop, webkit):
+    if webkit:
+        prop = "-webkit-" + prop
+    out = css_property_to_idl_attributes(prop)
+    # dashed form always first; camel-cased forms never keep a dash;
+    # -webkit- adds exactly one extra (lowercase-w) variant
+    assert out[0] == prop
+    for v in out[1:]:
+        assert "-" not in v
+    assert len(out) == (3 if webkit else (2 if "-" in prop else 1))
+    assert len(set(out)) == len(out)
+
+
+# --- F3 encodeURIComponent parity properties --------------------------------
+
+from urllib.parse import unquote
+
+from reffy_spark.functions.urls import encode_uri_component
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_encode_uri_component_roundtrip_and_ascii(s):
+    enc = encode_uri_component(s)
+    assert enc.isascii()
+    # JS-unreserved marks survive unescaped; everything else is %XX
+    for ch in enc:
+        assert ch.isalnum() or ch in "-_.!~*'()%"
+    assert unquote(enc) == s
