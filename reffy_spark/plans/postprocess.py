@@ -1631,17 +1631,23 @@ def idlparsed_run(spec: dict, ast: bool = False) -> dict:
                 return hits[0]["href"] if len(hits) == 1 else None
         return None
 
+    def _value_records(idl: dict) -> list[dict]:
+        # enum values are record dicts in ast mode only (the simplified
+        # shape keeps plain strings; enum-value linking for that shape
+        # happens at the relational layer) — idlparsed.js:128-135,150-157
+        return [v for v in idl.get("values") or [] if isinstance(v, dict)]
+
     for idl in report.get("idlNames", {}).values():
         href = get_href(idl)
         if href:
             idl["href"] = href
-        for member in idl.get("members") or []:
+        for member in _value_records(idl) + (idl.get("members") or []):
             mh = get_href(idl, member)
             if mh:
                 member["href"] = mh
     for exts in report.get("idlExtendedNames", {}).values():
         for idl in exts:
-            for member in idl.get("members") or []:
+            for member in _value_records(idl) + (idl.get("members") or []):
                 mh = get_href(idl, member)
                 if mh:
                     member["href"] = mh

@@ -299,3 +299,27 @@ def test_idlparsed_run_ast_attaches_hrefs():
 def test_idlparsed_run_ast_keeps_error_string():
     result = idlparsed_run({"idl": "intraface foo {};"}, ast=True)
     assert result["idlparsed"].startswith("WebIDLParseError: Syntax error")
+
+
+def test_idlparsed_run_ast_links_enum_values():
+    """idlparsed.js:128-135 — enum-value records get hrefs, matching
+    either the bare value or the Bikeshed quoted form."""
+    spec = {
+        "dfns": [
+            {
+                "href": "about:blank/#dir-up",
+                "linkingText": ['"up"'],
+                "localLinkingText": [],
+                "type": "enum-value",
+                "for": ["Dir"],
+                "access": "public",
+                "informative": False,
+                "links": [],
+            }
+        ],
+        "idl": 'enum Dir { "up", "down" };',
+    }
+    result = idlparsed_run(spec, ast=True)
+    values = result["idlparsed"]["idlNames"]["Dir"]["values"]
+    assert values[0]["href"] == "about:blank/#dir-up"
+    assert "href" not in values[1]
