@@ -50,6 +50,7 @@ __all__ = [
     "repetition_profile",
     "decontaminate",
     "stratified_sample",
+    "line_dedup",
 ]
 
 
@@ -352,4 +353,74 @@ def domain_cap(
         pruned.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= cap)
         .select("doc_id", "domain", "quality", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Cross-document exact line deduplication, first-occurrence-wins —
+    the corpus-wide pass of C4 (Raffel et al., 2020, arXiv:1910.10683
+    §2.2 deduplicates spans across the dataset) and CCNet-style
+    boilerplate removal; ``repetition_profile`` covers only WITHIN-doc
+    duplication. A line survives in exactly the document with the
+    globally smallest (id, line_idx) that contains it; every other
+    occurrence is dropped and each document's remaining lines are
+    reassembled in original order.
+
+    Returns (doc_id, text, n_lines, n_kept); a document whose every
+    line is dropped stays in the output with empty text.
+
+    Scale shape (100 TB): lines are the unit of distribution.
+    Winner-per-line is a ``min(struct(id, idx))`` hash aggregation —
+    partial aggregation collapses a hot line's occurrences map-side, so
+    a boilerplate line repeated 10^9 times ships ONE row per map task
+    to the reducer (a ``Window.partitionBy(line)`` would funnel all
+    10^9 rows into one task — rejected, same skew failure class as the
+    politeness rank). The join back is a co-partitioned equi-join on
+    the line; hot-line fan-in there is handled by AQE skew-join
+    splitting (1:1 multiplicity — winners carry one row per distinct
+    line). Reassembly is a doc-keyed aggregation, partial-combined.
+    Production note: at corpus scale join on ``xxhash64(line)`` instead
+    of the raw string to shrink shuffle payloads; the raw string is
+    kept here so the DuckDB oracle can replay the plan exactly.
+    """
+    lines = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("idx", "line"),
+        )
+        .withColumn("line", F.trim("line"))
+        .filter(F.col("line") != "")
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "idx")).alias("w")
+    )
+    kept = (
+        lines.join(winners, "line")
+        .filter((F.col("doc_id") == F.col("w.doc_id")) & (F.col("idx") == F.col("w.idx")))
+        .select("doc_id", "idx", "line")
+    )
+    per_doc = lines.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        per_doc.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     )

@@ -2474,3 +2474,53 @@ ORACLE_IDLPARSED_AST = f"""
 
 EXT_QUERIES["idlparsed_ast"] = q_idlparsed_ast
 EXT_ORACLES["idlparsed_ast"] = ORACLE_IDLPARSED_AST
+
+
+# ---------------------------------------------------------------------------
+# cross-document line dedup (C4-style corpus-wide pass)
+# ---------------------------------------------------------------------------
+
+
+def q_line_dedup(spark, sf_dir):
+    """Global first-occurrence-wins line dedup over synthetic multi-line
+    docs: line 2 of every doc is one of 3 shared boilerplate strings
+    (dropped everywhere except its first carrier), other lines unique."""
+    from reffy_spark.operators.corpus_quality import line_dedup
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    i = _s(F.col("doc_id"))
+    lines = [
+        F.when(
+            F.lit(j) == 2,
+            F.concat(F.lit("shared-boilerplate-"), _s(F.col("doc_id") % 3)),
+        ).otherwise(
+            F.concat(F.lit("content-"), i, F.lit("-"), F.lit(str(j)))
+        )
+        for j in range(5)
+    ]
+    docs = d.select("doc_id", F.concat_ws("\n", *lines).alias("text"))
+    return line_dedup(docs)
+
+
+ORACLE_LINE_DEDUP = """
+    WITH src AS (
+      SELECT doc_id, j,
+             CASE WHEN j = 2 THEN 'shared-boilerplate-' || (doc_id % 3)
+                  ELSE 'content-' || doc_id || '-' || j END AS line
+      FROM documents, range(0, 5) t(j)
+    ),
+    ranked AS (
+      SELECT doc_id, j, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, j) AS rn
+      FROM src
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                               ORDER BY j), '') AS text,
+           count(*) AS n_lines,
+           count(CASE WHEN rn = 1 THEN 1 END) AS n_kept
+    FROM ranked GROUP BY doc_id
+"""
+
+EXT_QUERIES["line_dedup"] = q_line_dedup
+EXT_ORACLES["line_dedup"] = ORACLE_LINE_DEDUP

@@ -188,3 +188,34 @@ def test_domain_cap_matches_direct_window(spark, sf_dir):
     for dom, _, _ in got:
         per_dom[dom] = per_dom.get(dom, 0) + 1
     assert max(per_dom.values()) <= 5
+
+
+def test_line_dedup_first_occurrence_wins(spark):
+    from reffy_spark.operators.corpus_quality import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a\nshared\nb"),
+            (1, "shared\nc"),
+            (2, "c\nshared\n\n  \nd"),
+            (3, "shared"),  # every line dropped → empty text, row kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in line_dedup(docs).collect()}
+    assert out[0].text == "a\nshared\nb" and out[0].n_kept == 3
+    assert out[1].text == "c" and out[1].n_lines == 2 and out[1].n_kept == 1
+    # blank/whitespace-only lines are not counted as lines
+    assert out[2].text == "d" and out[2].n_lines == 3 and out[2].n_kept == 1
+    assert out[3].text == "" and out[3].n_lines == 1 and out[3].n_kept == 0
+
+
+def test_line_dedup_is_idempotent(spark):
+    from reffy_spark.operators.corpus_quality import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a\nshared\nb"), (1, "shared\nc")], ["doc_id", "text"]
+    )
+    once = line_dedup(docs).select("doc_id", "text")
+    twice = line_dedup(once).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

@@ -288,3 +288,17 @@ def test_build_bloom_with_known_count_runs_no_count_job(spark):
     assert (b1.m, b1.k) == (b2.m, b2.k)
     assert np.array_equal(b1.bits, b2.bits)
     assert build_bloom(seen, n_items=0) is None
+
+
+def test_line_dedup_no_window_partial_agg(spark):
+    """Winner-per-line must be a partial-aggregable min, never a
+    Window.partitionBy(line) (a hot boilerplate line would funnel every
+    occurrence into one task — the politeness-rank skew class)."""
+    from reffy_spark.operators.corpus_quality import line_dedup
+
+    docs = spark.createDataFrame(
+        [(0, "a\nshared"), (1, "shared\nb")], ["doc_id", "text"]
+    )
+    plan = plan_of(line_dedup(docs))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "Aggregate" in plan
