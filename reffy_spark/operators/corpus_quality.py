@@ -51,6 +51,7 @@ __all__ = [
     "decontaminate",
     "stratified_sample",
     "line_dedup",
+    "pack_sequences",
 ]
 
 
@@ -423,4 +424,83 @@ def line_dedup(
             "n_lines",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    window: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """Token-stream packing: concatenate every document's tokens in
+    ``id_col`` order and cut the stream every ``window`` tokens — the
+    standard GPT-style pretraining batch layout (documents straddle
+    context-window boundaries). Each doc gets its stream position:
+
+      (doc_id, n_tokens, start_offset, first_bin, last_bin)
+
+    with ``first_bin = start_offset // window`` and ``last_bin =
+    (start_offset + n_tokens - 1) // window`` (zero-token docs get
+    first_bin = last_bin = the bin at their offset).
+
+    Scale shape (100 TB): the prefix sum over the global doc order is
+    NOT a ``Window.orderBy(doc_id)`` without partitioning (Spark would
+    funnel the whole corpus into one task). Same two-phase trick as
+    ``frontier._exact_group_rank``: range-repartition on doc_id, local
+    cumulative sum inside each range slice (hash-partitioned by slice
+    id), plus a broadcast running-offset table with one row per range
+    partition — the only unpartitioned window runs over that ≤
+    ``num_parts``-row table, bounded by config, not by data.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = docs.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    counted = docs.select(
+        F.col(id_col).alias("doc_id"),
+        (
+            F.col(count_col).cast("long")
+            if count_col
+            else token_count_col(F.col(text_col)).cast("long")
+        ).alias("n_tokens"),
+    )
+    ranged = counted.repartitionByRange(num_parts, F.col("doc_id"))
+    # bake the range-partition id into one materialization so the
+    # offsets branch and the cumsum branch read identical slices (see
+    # _exact_group_rank for why ReuseExchange is not relied upon)
+    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    totals = part.groupBy("_pid").agg(F.sum("n_tokens").alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(
+        "_lsum", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    packed = local.join(F.broadcast(offsets), "_pid").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_lsum") + F.col("_off")).alias("start_offset"),
+    )
+    # integer `div`, not double `/`: at stream offsets past 2^53 a
+    # double-division bin id would silently round
+    return packed.withColumn(
+        "_end", F.col("start_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {int(window)}").alias("first_bin"),
+        F.expr(f"_end div {int(window)}").alias("last_bin"),
     )

@@ -2524,3 +2524,37 @@ ORACLE_LINE_DEDUP = """
 
 EXT_QUERIES["line_dedup"] = q_line_dedup
 EXT_ORACLES["line_dedup"] = ORACLE_LINE_DEDUP
+
+
+# ---------------------------------------------------------------------------
+# token-stream sequence packing (GPT-style pretraining batch layout)
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark, sf_dir):
+    from reffy_spark.operators.corpus_quality import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), window=256)
+
+
+ORACLE_PACK_SEQUENCES = f"""
+    WITH t AS (
+      SELECT doc_id, CAST(len({_Q_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS start_offset
+      FROM t
+    )
+    SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(start_offset // 256 AS BIGINT) AS first_bin,
+           CAST((start_offset + greatest(n_tokens - 1, 0)) // 256 AS BIGINT)
+             AS last_bin
+    FROM c
+"""
+
+EXT_QUERIES["pack_sequences"] = q_pack_sequences
+EXT_ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES

@@ -219,3 +219,50 @@ def test_line_dedup_is_idempotent(spark):
     once = line_dedup(docs).select("doc_id", "text")
     twice = line_dedup(once).select("doc_id", "text")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_pack_sequences_stream_positions(spark):
+    from reffy_spark.operators.corpus_quality import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 3), (2, 0), (3, 9), (4, 2)], ["doc_id", "n"]
+    )
+    out = [
+        tuple(r)
+        for r in pack_sequences(df, window=4, count_col="n")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    # stream: d0 [0,5) d1 [5,8) d2 [8,8) d3 [8,17) d4 [17,19); window 4
+    assert out == [
+        (0, 5, 0, 0, 1),
+        (1, 3, 5, 1, 1),
+        (2, 0, 8, 2, 2),
+        (3, 9, 8, 2, 4),
+        (4, 2, 17, 4, 4),
+    ]
+
+
+def test_pack_sequences_matches_naive_global_window(spark):
+    """The two-phase prefix sum must equal the single-partition
+    Window.orderBy cumsum bit-for-bit, at a partition count that forces
+    multiple range slices."""
+    from pyspark.sql import Window as W
+
+    from reffy_spark.operators.corpus_quality import pack_sequences
+
+    df = spark.range(0, 199).select(
+        F.col("id").alias("doc_id"), (F.pmod("id", 17) + 1).alias("n")
+    )
+    two_phase = {
+        r.doc_id: (r.start_offset, r.first_bin, r.last_bin)
+        for r in pack_sequences(df, window=32, count_col="n", num_parts=7).collect()
+    }
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: (r.s, r.s // 32, (r.s + r.n - 1) // 32)
+        for r in df.withColumn(
+            "s", F.coalesce(F.sum("n").over(w), F.lit(0))
+        ).collect()
+    }
+    assert two_phase == naive
