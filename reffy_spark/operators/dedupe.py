@@ -92,13 +92,38 @@ def minhash_from_shingles(
     shingles of a salted hash (see ``salted_hash`` for the
     portable/fast trade-off). The shingles MUST be a plain column
     reference, not an expression — otherwise every permutation
-    re-evaluates the tokenize+shingle pipeline (16× blowup)."""
+    re-evaluates the tokenize+shingle pipeline (16× blowup).
+
+    The per-permutation lambda comes from a closure factory: a
+    ``lambda s, p=p:`` two-parameter signature looks like an
+    (element, index) callable to PySpark's higher-order-function
+    binder, which then OVERRIDES the default with the element-index
+    Column — the salt silently became ``str(index_column)`` (an
+    unstable per-process repr), making the hash family
+    environment-dependent. Exact-Jaccard verification masked it in the
+    final pairs; the signature values were wrong."""
+
+    def _perm(p: int):
+        return lambda s: salted_hash(s, p, hash_mode)
+
     return [
-        F.array_min(
-            F.transform(sh, lambda s, p=p: salted_hash(s, p, hash_mode))
-        ).alias(f"mh{p}")
+        F.array_min(F.transform(sh, _perm(p))).alias(f"mh{p}")
         for p in range(k)
     ]
+
+
+def spread_small_input(df: DataFrame, min_headroom: int = 2) -> DataFrame:
+    """Round-robin-repartition a compute-heavy input whose scan produced
+    far fewer partitions than the cluster has slots (a single small
+    parquet file at bench scale = ONE task doing all the md5 work). A
+    plan-time decision, no job: at 100 TB the scan already yields
+    thousands of splits and this is a no-op; the shuffle it adds at
+    small scale moves only the raw input rows once."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_headroom <= target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_signatures(
@@ -113,7 +138,7 @@ def minhash_signatures(
     (no shingles → no signature). Shingles are materialized once into a
     column so the k permutations share the work (manual CSE — Catalyst
     does not eliminate common subexpressions across lambda functions)."""
-    sh_df = docs.select(
+    sh_df = spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
     ).filter(F.size("sh") > 0)
     return sh_df.select("doc_id", *minhash_from_shingles(F.col("sh"), k, hash_mode))
@@ -176,7 +201,7 @@ def minhash_dedup_pairs(
     rows_per_band = k // bands
     sigs = minhash_signatures(docs, id_col, text_col, k, n, hash_mode)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = docs.select(
+    sh = spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
     )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -224,7 +249,7 @@ def ngram_jaccard_pairs(
     """
     inv = 1.0 / length_band_ratio
     sh = (
-        docs.select(
+        spread_small_input(docs).select(
             F.col(id_col).alias("doc_id"),
             shingles_col(F.col(text_col), n).alias("sh"),
         )
@@ -314,7 +339,7 @@ def simhash_table(
     text_col: str = "text",
     hash_mode: str = "portable",
 ) -> DataFrame:
-    return docs.select(
+    return spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
         simhash_col(F.col(text_col), hash_mode=hash_mode).alias("simhash"),
     )

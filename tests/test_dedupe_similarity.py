@@ -272,3 +272,24 @@ def test_ivf_recall_vs_brute(spark, sf_dir):
         for r in S.ann_topk_ivf(emb, q0, k=10, n_centroids=8, nprobe=8).collect()
     ]
     assert full == brute
+
+
+def test_minhash_signature_values_match_md5_reference(spark):
+    """Pin signature VALUES to the independent md5 math (not just final
+    pairs — exact-Jaccard verification can mask a broken hash family).
+    Regression for the (element, index) higher-order-function binder
+    silently overriding a `lambda s, p=p:` salt with the index column."""
+    import hashlib
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    row = D.minhash_signatures(df).first()
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = base.split()
+    shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+    for p in range(16):
+        expected = min(h60(f"{s}#{p}") for s in shingles)
+        assert row[f"mh{p}"] == expected, p
