@@ -61,8 +61,16 @@ HEADLINE = [
 
 
 def _count_rows(df) -> int:
-    # force full execution without collecting results to the driver
-    return df.count()
+    """Force FULL execution without collecting to the driver.
+
+    df.count() is NOT that: Catalyst prunes columns nobody consumes, so
+    a projection-only query (simhash, text_profile, url_canon) would be
+    timed as little more than a parquet row count — rounds ≤ 3 reported
+    such numbers (measurement bug, corrected in round 4; see
+    BENCH/BASELINE.md). The noop datasource computes every output column
+    and discards the rows executor-side."""
+    df.write.format("noop").mode("overwrite").save()
+    return -1
 
 
 MP_CANARY_MODS = ["links", "headings", "ids", "dfns", "title"]

@@ -112,6 +112,9 @@ def repetition_profile(
       symbol_word_ratio     (# "#" + # "…" + # "...") / tokens
     All fractions are 0.0 for empty denominators, rounded to 6 places.
     """
+    from reffy_spark.operators.dedupe import spread_small_input
+
+    docs = spread_small_input(docs)
     t = F.col(text_col)
     toks = tokens_col(t)
     n_tok = token_count_col(t).cast("double")
@@ -427,6 +430,9 @@ def line_dedup(
     )
 
 
+_prev_pack_cache = None
+
+
 def pack_sequences(
     docs: DataFrame,
     window: int = 2048,
@@ -471,10 +477,21 @@ def pack_sequences(
     ranged = counted.repartitionByRange(num_parts, F.col("doc_id"))
     # bake the range-partition id into one materialization so the
     # offsets branch and the cumsum branch read identical slices (see
-    # _exact_group_rank for why ReuseExchange is not relied upon)
+    # _exact_group_rank for why ReuseExchange is not relied upon).
+    # Lifecycle: exactly one pack cache is live at a time — repeated
+    # calls in one session (test suites, notebook loops) must not
+    # accumulate persisted frames until storage eviction thrashes (a
+    # leak here wedged a 4-core test JVM in an eviction storm).
     part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    global _prev_pack_cache
+    if _prev_pack_cache is not None:
+        try:
+            _prev_pack_cache.unpersist(blocking=False)
+        except Exception:
+            pass
+    _prev_pack_cache = part
     totals = part.groupBy("_pid").agg(F.sum("n_tokens").alias("_t"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(

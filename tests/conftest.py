@@ -30,11 +30,13 @@ def spark():
         _state["spark"] is not None
         and _state["modules_served"] >= _RECYCLE_EVERY
     ):
-        # drop cross-session driver-side state before stopping: the rank
-        # cache global holds a DataFrame of the session being retired
+        # drop cross-session driver-side state before stopping: these
+        # cache globals hold DataFrames of the session being retired
+        from reffy_spark.operators import corpus_quality as CQ
         from reffy_spark.operators import frontier as FR
 
         FR._prev_rank_cache = None
+        CQ._prev_pack_cache = None
         try:
             _state["spark"].stop()
         except Exception:
