@@ -90,6 +90,15 @@ def get_spark(
         .config("spark.executor.heartbeatInterval", "60s")
         .config("spark.executor.heartbeat.maxFailures", "10000")
         .config("spark.network.timeout", "1200s")
+        # Long-lived sessions (test suites, notebooks, the BSP crawl
+        # loop) accumulate dead broadcast/cache blocks until storage
+        # fills and every new broadcast EVICTS under the memory-manager
+        # lock — observed as multi-minute stalls with executor threads
+        # blocked in releaseUnrollMemoryForThisTask. The ContextCleaner
+        # only reclaims blocks after a driver GC notices dead
+        # references; the default periodic GC (30 min) never fires
+        # within a suite. 2 min keeps the storage pool bounded.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -21,6 +21,25 @@ TABLES = [
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
+_RECYCLE_TESTS = int(os.environ.get("SPARK_GRAFT_TEST_RECYCLE_TESTS", "25"))
+_counter = {"n": 0}
+
+
+@pytest.fixture()
+def spark():
+    """Override the shared module-scoped session with a per-test-counting
+    recycle: this ONE module runs 77 queries — enough accumulated
+    broadcast/cache blocks to push a shared session into the blocking
+    eviction storms described in conftest. Recycling every
+    _RECYCLE_TESTS keeps the storage pool bounded."""
+    from tests.conftest import _state, recycle_spark, shared_spark
+
+    _counter["n"] += 1
+    if _counter["n"] % _RECYCLE_TESTS == 0:
+        recycle_spark()
+    yield shared_spark()
+
+
 @pytest.fixture(scope="module")
 def ddb(sf_dir):
     con = duckdb.connect()
