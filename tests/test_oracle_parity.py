@@ -21,23 +21,33 @@ TABLES = [
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 
-_RECYCLE_TESTS = int(os.environ.get("SPARK_GRAFT_TEST_RECYCLE_TESTS", "25"))
+_PURGE_EVERY = int(os.environ.get("SPARK_GRAFT_TEST_PURGE_TESTS", "15"))
 _counter = {"n": 0}
 
 
-@pytest.fixture()
-def spark():
-    """Override the shared module-scoped session with a per-test-counting
-    recycle: this ONE module runs 77 queries — enough accumulated
-    broadcast/cache blocks to push a shared session into the blocking
-    eviction storms described in conftest. Recycling every
-    _RECYCLE_TESTS keeps the storage pool bounded."""
-    from tests.conftest import _state, recycle_spark, shared_spark
+@pytest.fixture(autouse=True)
+def _bounded_storage(spark):
+    """This ONE module runs 77 queries in a shared session — enough
+    accumulated broadcast/cache blocks to fill the storage pool and
+    push broadcast builds into the blocking eviction storms described
+    in conftest. Every _PURGE_EVERY tests, drop all cached frames and
+    nudge both GCs so the context cleaner reclaims dead broadcasts.
+    (A mid-module session restart is NOT safe: later module-scoped
+    fixtures elsewhere hold DataFrames of the session they saw.)"""
+    import gc
+
+    from tests.conftest import clear_session_caches
 
     _counter["n"] += 1
-    if _counter["n"] % _RECYCLE_TESTS == 0:
-        recycle_spark()
-    yield shared_spark()
+    if _counter["n"] % _PURGE_EVERY == 0:
+        clear_session_caches()
+        spark.catalog.clearCache()
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    yield
 
 
 @pytest.fixture(scope="module")
