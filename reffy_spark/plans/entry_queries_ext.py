@@ -2558,3 +2558,193 @@ ORACLE_PACK_SEQUENCES = f"""
 
 EXT_QUERIES["pack_sequences"] = q_pack_sequences
 EXT_ORACLES["pack_sequences"] = ORACLE_PACK_SEQUENCES
+
+
+# ---------------------------------------------------------------------------
+# curation family: PII scrub, URL filtering, hashed-linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII scrub over documents augmented with deterministic synthetic
+    PII (the raw synthetic corpus is word salad with no PII; the
+    md5-bucketed augmentation gives every family hits AND misses, and
+    the DuckDB oracle replays the identical augmentation)."""
+    from reffy_spark.operators.curation import pii_scan
+    from reffy_spark.operators.dedupe import h60
+
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    em = F.when(
+        h60(F.concat(F.lit("pii-e#"), _s(i))) % 3 == 0,
+        F.concat(F.lit(" reach user"), _s(i), F.lit("@example.com now")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        h60(F.concat(F.lit("pii-i#"), _s(i))) % 5 < 2,
+        F.concat(F.lit(" host 10."), _s(i % 256), F.lit(".0.42 up")),
+    ).otherwise(F.lit(""))
+    ph = F.when(
+        h60(F.concat(F.lit("pii-p#"), _s(i))) % 7 < 3,
+        F.concat(
+            F.lit(" call +1 555-"), F.lpad(_s(i % 10000), 4, "0"), F.lit(" soon")
+        ),
+    ).otherwise(F.lit(""))
+    aug = d.select(
+        "doc_id", F.concat(F.col("text"), em, ip, ph).alias("text")
+    )
+    out = pii_scan(aug)
+    return out.select(
+        "doc_id",
+        *[
+            F.col(c).cast("long").alias(c)
+            for c in ("n_email", "n_ipv4", "n_phone", "n_pii")
+        ],
+        "redacted",
+    )
+
+
+_ORACLE_PII_TMPL = """
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN (('0x'||substr(md5('pii-e#'||doc_id),1,15))::BIGINT) % 3 = 0
+                     THEN ' reach user' || doc_id || '@example.com now' ELSE '' END
+             || CASE WHEN (('0x'||substr(md5('pii-i#'||doc_id),1,15))::BIGINT) % 5 < 2
+                     THEN ' host 10.' || (doc_id % 256) || '.0.42 up' ELSE '' END
+             || CASE WHEN (('0x'||substr(md5('pii-p#'||doc_id),1,15))::BIGINT) % 7 < 3
+                     THEN ' call +1 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' soon' ELSE '' END
+               AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '__EMAIL__'))::BIGINT AS n_email,
+           len(regexp_extract_all(text, '__IPV4__'))::BIGINT AS n_ipv4,
+           len(regexp_extract_all(text, '__PHONE__'))::BIGINT AS n_phone,
+           (len(regexp_extract_all(text, '__EMAIL__'))
+            + len(regexp_extract_all(text, '__IPV4__'))
+            + len(regexp_extract_all(text, '__PHONE__')))::BIGINT AS n_pii,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g'),
+               '__IPV4__', '<IP>', 'g'),
+             '__PHONE__', '<PHONE>', 'g') AS redacted
+    FROM aug
+"""
+
+
+def _oracle_pii_scan() -> str:
+    from reffy_spark.operators.curation import RE_EMAIL, RE_IPV4, RE_PHONE
+
+    return (
+        _ORACLE_PII_TMPL.replace("__EMAIL__", RE_EMAIL)
+        .replace("__IPV4__", RE_IPV4)
+        .replace("__PHONE__", RE_PHONE)
+    )
+
+
+EXT_QUERIES["pii_scan"] = q_pii_scan
+EXT_ORACLES["pii_scan"] = _oracle_pii_scan()
+
+
+def q_url_filter(spark, sf_dir):
+    """URL curation verdicts over deterministically synthesized URLs
+    (host varies by source/tld buckets; 1-in-5 gets an 'ads.' prefix,
+    1-in-4 a tracking param)."""
+    from reffy_spark.operators.curation import url_filter
+
+    d = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("net"), F.lit("org")),
+        ((i % 3) + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(i % 5 == 0, F.lit("ads.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".example."),
+        tld,
+        F.lit("/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        _s(i),
+        F.when(i % 4 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    out = url_filter(
+        u,
+        blocked_domains=["src1.example.net", "src2.example.org"],
+        blocked_host_patterns=[r"^ads\."],
+    )
+    return out.select(
+        "doc_id", "url", "host", "blocked", "block_reason", "has_tracking"
+    )
+
+
+ORACLE_URL_FILTER = r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://'
+             || CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE '' END
+             || source || '.example.'
+             || CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'net' ELSE 'org' END
+             || '/' || lang || '/doc-' || doc_id
+             || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x' ELSE '' END AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)) AS host
+      FROM u
+    ),
+    v AS (
+      SELECT doc_id, url, host,
+             (host = 'src1.example.net' OR ends_with(host, '.src1.example.net')
+              OR host = 'src2.example.org' OR ends_with(host, '.src2.example.org'))
+               AS dom_b,
+             regexp_matches(host, '^ads\.') AS pat_b
+      FROM h
+    )
+    SELECT doc_id, url, host,
+           (dom_b OR pat_b) AS blocked,
+           CASE WHEN dom_b THEN 'domain'
+                WHEN pat_b THEN 'host_pattern' END AS block_reason,
+           regexp_matches(url, '[?&](utm_[a-z]+|session)=') AS has_tracking
+    FROM v
+"""
+
+EXT_QUERIES["url_filter"] = q_url_filter
+EXT_ORACLES["url_filter"] = ORACLE_URL_FILTER
+
+
+def q_classifier_score(spark, sf_dir):
+    from reffy_spark.operators.curation import classifier_score
+
+    return classifier_score(load(spark, sf_dir, "documents"))
+
+
+ORACLE_CLASSIFIER_SCORE = f"""
+    WITH t AS (
+      SELECT doc_id, {_Q_TOKS} AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+             coalesce(list_sum(list_transform(toks,
+               x -> (('0x'||substr(md5('clf#'||x),1,15))::BIGINT) % 2000001)), 0)
+               AS tot
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           (CASE WHEN n_tokens > 0
+                 THEN (tot - n_tokens*1000000)::DOUBLE
+                      / (n_tokens*1000000)::DOUBLE
+                 ELSE 0.0 END) AS clf_score,
+           (CASE WHEN n_tokens > 0
+                 THEN (tot - n_tokens*1000000)::DOUBLE
+                      / (n_tokens*1000000)::DOUBLE
+                 ELSE 0.0 END) >= 0.0 AS keep
+    FROM s
+"""
+
+EXT_QUERIES["classifier_score"] = q_classifier_score
+EXT_ORACLES["classifier_score"] = ORACLE_CLASSIFIER_SCORE
