@@ -235,6 +235,53 @@ class CrawlEngine:
         row = robots.agg(F.max("crawl_delay_ms")).first()
         self._max_crawl_delay_ms = row[0] if row is not None else None
 
+    def _seed_index(self, seeds: DataFrame) -> DataFrame:
+        """``seed_idx`` = url-ordered row number for a seed list that
+        arrives without one — WITHOUT a global unpartitioned window (a
+        1M-URL webtext seed list must not funnel into one sorting task).
+
+        Same two-phase pattern as ``frontier._exact_group_rank`` /
+        ``corpus_quality.pack_sequences``, degenerate single-group case:
+        range-repartition on url (every partition holds a contiguous
+        url-order slice), rank locally per slice, add a broadcast
+        running-count offset per slice. The only unpartitioned window
+        runs over the ≤ num_parts-row offset table — bounded by config,
+        not by data. Assignment matches
+        ``row_number().over(Window.orderBy("url")) - 1`` (duplicate urls,
+        if any, get arbitrary-but-distinct indices in both forms; the
+        frontier dedups them immediately after)."""
+        from pyspark.storagelevel import StorageLevel
+
+        num_parts = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        ranged = seeds.repartitionByRange(num_parts, F.col("url"))
+        # bake the range-partition id into one materialization so the
+        # offsets branch and the rank branch read identical slices (see
+        # _exact_group_rank for why ReuseExchange is not relied upon);
+        # released with the round's working sets.
+        part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._working_sets.append(part)
+        counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
+        w_off = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+        )
+        w_local = Window.partitionBy("_pid").orderBy("url")
+        return (
+            part.withColumn("_lrn", F.row_number().over(w_local))
+            .join(F.broadcast(offsets), "_pid")
+            .withColumn(
+                "seed_idx",
+                (F.col("_off") + F.col("_lrn") - 1).cast("int"),
+            )
+            .drop("_pid", "_lrn", "_off")
+        )
+
     def _ensure_state_dir(self) -> str:
         if self._state_dir is None:
             import tempfile
@@ -246,9 +293,7 @@ class CrawlEngine:
     def crawl(self, seeds: DataFrame, max_rounds: int = 10) -> CrawlResult:
         """Run the BSP loop from a seed list (url [, seed_idx])."""
         if "seed_idx" not in seeds.columns:
-            seeds = seeds.withColumn(
-                "seed_idx", F.row_number().over(Window.orderBy("url")) - 1
-            )
+            seeds = self._seed_index(seeds)
         frontier = FR.to_frontier(
             seeds.select("url", F.col("seed_idx").cast("int")),
             round_no=0,
