@@ -147,10 +147,18 @@ def run_suite() -> dict:
 
 
 SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1200000"))
+# 128 (not 32): one file per bucket is required for the sort-free join,
+# so bucket count IS the extraction-stage task count — 32 buckets
+# starved a 32-core cluster of scheduling granularity (the measured 15%
+# round-3 regression vs broadcast); 128 gives 4 waves per core at
+# ~3 MB/bucket while staying far under the small-files regime.
+BUCKETS = int(os.environ.get("SPARK_GRAFT_SCALE_BUCKETS", "128"))
+# corpus dir encodes the bucket count: a cached 32-bucket table must not
+# satisfy a 128-bucket run (the DDL would lie about the file layout)
 SCALE_CORPUS = os.environ.get(
-    "SPARK_GRAFT_SCALE_CORPUS", f"/tmp/reffy_scaling_corpus_{SCALE_PAGES}"
+    "SPARK_GRAFT_SCALE_CORPUS",
+    f"/tmp/reffy_scaling_corpus_{SCALE_PAGES}_b{BUCKETS}",
 )
-BUCKETS = 32
 
 
 def build_scaling_corpus() -> None:

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from reffy_spark.functions.text import tokens_col
+from reffy_spark.functions.text import token_count_col, tokens_col
 
 # portable 60-bit hash of a string expression
 def h60(c: Column) -> Column:
@@ -482,3 +482,137 @@ def dedup_near_canonical(
         )
         .drop("_cc_id", "component")
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (span-level) dedup — Lee et al. 2022, arXiv:2107.06499
+# ---------------------------------------------------------------------------
+
+
+def span_fingerprints(
+    docs: DataFrame,
+    window: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """One row per length-``window`` token span: (doc_id, n_tokens, pos,
+    whash). The ExactSubstr candidate generator (Lee et al. 2022 use a
+    suffix array over the concatenated corpus; the distributed analog is
+    fingerprinting every token window — same duplicated-span set for
+    spans of exactly ``window`` tokens, and a hash-groupBy instead of a
+    corpus-wide sorted structure).
+
+    ``hash_mode="portable"`` = md5-derived 60-bit hash (the DuckDB
+    oracle replays it); ``"fast"`` = xxhash64, same plan shape. The
+    explode is narrow (hash computed in the scan stage, token array
+    dropped in the same projection) — the corpus-sized shuffle happens
+    only in the consumer's groupBy(whash), where uniform hash keys give
+    skew-free partial aggregation.
+    """
+    toks = tokens_col(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") >= window)
+    e = d.select(
+        "doc_id",
+        "n_tokens",
+        "_toks",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("n_tokens") - window).cast("int"))
+        ).alias("pos"),
+    )
+    span_str = F.concat_ws(
+        "\x1f", F.slice(F.col("_toks"), F.col("pos") + 1, window)
+    )
+    whash = F.xxhash64(span_str) if hash_mode == "fast" else h60(span_str)
+    return e.select(
+        "doc_id", "n_tokens", F.col("pos").cast("long").alias("pos"),
+        whash.alias("whash"),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    window: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "portable",
+) -> DataFrame:
+    """Per-document duplicated-span profile (ExactSubstr dedup metric):
+
+      (doc_id, n_tokens, n_windows, n_dup_windows, dup_tokens,
+       dup_token_frac)
+
+    A span is DUPLICATED when an identical token window occurs earlier
+    in the corpus (global first-occurrence-wins, ordered by
+    (doc_id, pos) — the same deterministic primary-copy rule as
+    ``line_dedup`` / ``dedup_near_canonical``); ``dup_tokens`` counts
+    the distinct token positions covered by the union of a doc's
+    duplicated spans — the token mass ExactSubstr dedup would cut.
+
+    Scale shape (100 TB): the only corpus-sized shuffle is
+    groupBy(whash) — a partial-aggregable min/count over uniform 60-bit
+    keys (no skew, no window function over data); span coverage is a
+    bounded re-explode of ONLY the duplicated spans (worst case
+    window × n_dup_windows rows) followed by a doc_id-keyed distinct
+    that co-partitions with the final join.
+    """
+    fp = span_fingerprints(docs, window, id_col, text_col, hash_mode)
+    owners = fp.groupBy("whash").agg(
+        F.min(F.struct("doc_id", "pos")).alias("_first"),
+        F.count("*").alias("_occ"),
+    )
+    marked = fp.join(owners, "whash")
+    dup = marked.filter(
+        (F.col("_occ") > 1)
+        & ~(
+            (F.col("doc_id") == F.col("_first.doc_id"))
+            & (F.col("pos") == F.col("_first.pos"))
+        )
+    )
+    dup_w = dup.groupBy("doc_id").agg(F.count("*").alias("n_dup_windows"))
+    cov = (
+        dup.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window - 1)
+            ).alias("_t"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_col(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn(
+        "n_windows",
+        F.greatest(F.col("n_tokens") - window + 1, F.lit(0)).cast("long"),
+    )
+    out = (
+        base.join(dup_w, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+        )
+        .withColumn(
+            "dup_token_frac",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("dup_tokens").cast("double")
+                / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out

@@ -2748,3 +2748,73 @@ ORACLE_CLASSIFIER_SCORE = f"""
 
 EXT_QUERIES["classifier_score"] = q_classifier_score
 EXT_ORACLES["classifier_score"] = ORACLE_CLASSIFIER_SCORE
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (span-level) dedup profile — Lee et al. 2022 ExactSubstr
+# ---------------------------------------------------------------------------
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """Span-level dedup over the raw documents (the small shared
+    vocabulary makes identical 8-token windows recur naturally across
+    docs — real duplicated-span structure without synthetic planting)."""
+    from reffy_spark.operators.dedupe import duplicate_spans
+
+    return duplicate_spans(load(spark, sf_dir, "documents"), window=8)
+
+
+ORACLE_DUPLICATE_SPANS = f"""
+    WITH t AS (
+      SELECT doc_id, {_Q_TOKS} AS toks FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 8 + 1, 0) + 1),
+               i -> struct_pack(
+                 pos := i - 1,
+                 whash := ('0x' || substr(md5(array_to_string(
+                            list_slice(toks, i, i + 7), chr(31))), 1, 15))::BIGINT
+               ))) AS u
+      FROM t
+    ),
+    f AS (
+      SELECT doc_id, u.pos AS pos, u.whash AS whash FROM fp
+    ),
+    ranked AS (
+      SELECT doc_id, pos, whash,
+             row_number() OVER (PARTITION BY whash ORDER BY doc_id, pos) AS rn
+      FROM f
+    ),
+    dup AS (
+      SELECT doc_id, pos FROM ranked WHERE rn > 1
+    ),
+    dup_w AS (
+      SELECT doc_id, count(*) AS n_dup_windows FROM dup GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT doc_id, count(*) AS dup_tokens FROM (
+        SELECT DISTINCT d.doc_id, d.pos + j.j AS tkn
+        FROM dup d, range(0, 8) j(j)
+      ) GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len({_Q_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(greatest(len({_Q_TOKS}) - 8 + 1, 0) AS BIGINT) AS n_windows
+      FROM documents
+    )
+    SELECT b.doc_id, b.n_tokens, b.n_windows,
+           coalesce(w.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+           coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN coalesce(c.dup_tokens, 0)::DOUBLE / b.n_tokens::DOUBLE
+                ELSE 0.0 END AS dup_token_frac
+    FROM base b
+    LEFT JOIN dup_w w USING (doc_id)
+    LEFT JOIN cov c USING (doc_id)
+"""
+
+EXT_QUERIES["duplicate_spans"] = q_duplicate_spans
+EXT_ORACLES["duplicate_spans"] = ORACLE_DUPLICATE_SPANS

@@ -293,3 +293,74 @@ def test_minhash_signature_values_match_md5_reference(spark):
     for p in range(16):
         expected = min(h60(f"{s}#{p}") for s in shingles)
         assert row[f"mh{p}"] == expected, p
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (span-level) dedup — duplicate_spans
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_planted(spark):
+    from reffy_spark.operators.dedupe import duplicate_spans
+
+    shared = "alpha beta gamma delta"  # 4 tokens, shared verbatim
+    rows = [
+        (0, shared + " one two"),            # first occurrence -> not dup
+        (1, shared + " three four"),         # repeats the shared 4-gram
+        (2, "totally different words here"),  # no dup
+        (3, "tiny doc"),                      # shorter than the window
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_spans(docs, window=4).collect()
+    }
+    # doc 0 owns the shared span (global first occurrence): zero dups
+    assert out[0]["n_dup_windows"] == 0 and out[0]["dup_tokens"] == 0
+    # doc 1's copy of the shared window is the duplicate; it covers
+    # exactly the 4 tokens of the window at pos 0
+    assert out[1]["n_dup_windows"] == 1
+    assert out[1]["dup_tokens"] == 4
+    assert out[1]["dup_token_frac"] == pytest.approx(4 / 6)
+    assert out[2]["n_dup_windows"] == 0
+    # sub-window doc: no windows at all, zero everything, frac 0
+    assert out[3]["n_windows"] == 0 and out[3]["dup_token_frac"] == 0.0
+
+
+def test_duplicate_spans_within_doc_repeat(spark):
+    from reffy_spark.operators.dedupe import duplicate_spans
+
+    # "a b a b a b": window=2 -> spans (a b),(b a),(a b),(b a),(a b);
+    # first (a b)@0 and first (b a)@1 are owners; 3 later spans are dups
+    docs = spark.createDataFrame([(7, "a b a b a b")], ["doc_id", "text"])
+    row = duplicate_spans(docs, window=2).collect()[0]
+    assert row["n_windows"] == 5
+    assert row["n_dup_windows"] == 3
+    # dup spans at pos 2,3,4 cover token positions 2..5 -> 4 tokens
+    assert row["dup_tokens"] == 4
+    assert row["dup_token_frac"] == pytest.approx(4 / 6)
+
+
+def test_duplicate_spans_fast_mode_same_verdicts(spark):
+    from reffy_spark.operators.dedupe import duplicate_spans
+
+    rows = [(i, f"common prefix words here tail{i} end{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = duplicate_spans(docs, window=3, hash_mode="portable").orderBy("doc_id")
+    b = duplicate_spans(docs, window=3, hash_mode="fast").orderBy("doc_id")
+    assert a.collect() == b.collect()  # 60-bit md5 vs xxhash64: same truth
+
+
+def test_duplicate_spans_no_window_over_data(spark):
+    from reffy_spark.operators.dedupe import duplicate_spans
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        duplicate_spans(docs, window=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the first-occurrence rule must be a partial-aggregable min, never a
+    # per-whash window sort (the politeness-rank skew lesson)
+    assert "Window" not in plan
