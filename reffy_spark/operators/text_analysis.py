@@ -16,6 +16,7 @@ from reffy_spark.functions.text import (
     quality_score_col,
     stopword_ratio_col,
     token_count_col,
+    tokens_col,
     STOPWORDS_EN,
 )
 
@@ -84,4 +85,89 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
             ),
             6,
         ).alias("chars_per_bpe"),
+    )
+
+
+def bigram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-novelty profile — the integer-exact analog of
+    the CCNet LM-perplexity filter (Wenzek et al. 2020, arXiv:1911.00359
+    §3.3: rank documents by how surprising their phrasing is under a
+    corpus language model; here the "model" is the corpus's own bigram
+    table, so rarity IS surprise and no float log-prob accumulation is
+    needed):
+
+      (doc_id, n_bigrams, sum_count, mean_bigram_count,
+       n_singleton_bigrams, novelty_frac)
+
+    ``sum_count`` sums the CORPUS-wide occurrence count of each of the
+    doc's bigram instances (a common-phrasing doc scores high); a
+    "singleton" bigram occurs exactly once in the corpus — phrasing
+    unique to this doc (boilerplate scores 0.0 novelty, garbage/mojibake
+    scores ~1.0). All aggregation is over integers; the two ratio
+    columns are single final divisions — bit-portable to the DuckDB
+    oracle (the `classifier_score` precedent).
+
+    Scale shape (100 TB): two shuffles, both partial-aggregable —
+    groupBy(w1,w2) builds the count table, groupBy(doc_id) folds the
+    per-doc profile. Hot bigrams ("of the") skew the count-join key;
+    AQE skew-join splits them, and the join carries only (doc_id, count)
+    past the probe. Docs with < 2 tokens keep a row with zero counts.
+    """
+    toks = tokens_col(F.col(text_col))
+    d = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).alias("_n"),
+    )
+    pair = F.arrays_zip(
+        F.slice(F.col("_toks"), 1, F.col("_n") - 1).alias("w1"),
+        F.slice(F.col("_toks"), 2, F.col("_n") - 1).alias("w2"),
+    )
+    b = (
+        d.filter(F.col("_n") >= 2)
+        .select("doc_id", F.explode(pair).alias("_p"))
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    counts = b.groupBy("w1", "w2").agg(F.count("*").alias("_c"))
+    prof = (
+        b.join(counts, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("_c").alias("sum_count"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias(
+                "n_singleton_bigrams"
+            ),
+        )
+    )
+    base = d.select("doc_id")
+    return (
+        base.join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("sum_count"), F.lit(0)).cast("long").alias("sum_count"),
+            F.coalesce(F.col("n_singleton_bigrams"), F.lit(0))
+            .cast("long")
+            .alias("n_singleton_bigrams"),
+        )
+        .withColumn(
+            "mean_bigram_count",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("sum_count").cast("double") / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "novelty_frac",
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("n_singleton_bigrams").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
     )

@@ -2818,3 +2818,59 @@ ORACLE_DUPLICATE_SPANS = f"""
 
 EXT_QUERIES["duplicate_spans"] = q_duplicate_spans
 EXT_ORACLES["duplicate_spans"] = ORACLE_DUPLICATE_SPANS
+
+
+# ---------------------------------------------------------------------------
+# bigram-novelty profile — integer-exact CCNet LM-filter analog
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_novelty(spark, sf_dir):
+    """Corpus-trained bigram rarity per document (the small shared
+    vocabulary yields a dense bigram table with real singleton tail)."""
+    from reffy_spark.operators.text_analysis import bigram_novelty
+
+    return bigram_novelty(load(spark, sf_dir, "documents"))
+
+
+ORACLE_BIGRAM_NOVELTY = f"""
+    WITH t AS (
+      SELECT doc_id, {_Q_TOKS} AS toks FROM documents
+    ),
+    fp AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, greatest(len(toks) - 1, 0) + 1),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS u
+      FROM t
+    ),
+    b AS (
+      SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM fp
+    ),
+    c AS (
+      SELECT w1, w2, count(*) AS cnt FROM b GROUP BY w1, w2
+    ),
+    prof AS (
+      SELECT doc_id,
+             count(*) AS n_bigrams,
+             sum(cnt) AS sum_count,
+             sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_singleton_bigrams
+      FROM b JOIN c USING (w1, w2)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+           coalesce(p.sum_count, 0)::BIGINT AS sum_count,
+           coalesce(p.n_singleton_bigrams, 0)::BIGINT AS n_singleton_bigrams,
+           CASE WHEN coalesce(p.n_bigrams, 0) > 0
+                THEN p.sum_count::DOUBLE / p.n_bigrams::DOUBLE
+                ELSE 0.0 END AS mean_bigram_count,
+           CASE WHEN coalesce(p.n_bigrams, 0) > 0
+                THEN p.n_singleton_bigrams::DOUBLE / p.n_bigrams::DOUBLE
+                ELSE 0.0 END AS novelty_frac
+    FROM documents d
+    LEFT JOIN prof p USING (doc_id)
+"""
+
+EXT_QUERIES["bigram_novelty"] = q_bigram_novelty
+EXT_ORACLES["bigram_novelty"] = ORACLE_BIGRAM_NOVELTY

@@ -266,3 +266,55 @@ def test_pack_sequences_matches_naive_global_window(spark):
         ).collect()
     }
     assert two_phase == naive
+
+
+# ---------------------------------------------------------------------------
+# bigram novelty (integer-exact CCNet LM-filter analog)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_novelty_planted(spark):
+    from reffy_spark.operators.text_analysis import bigram_novelty
+
+    rows = [
+        (0, "the quick fox"),        # bigrams: (the,quick),(quick,fox)
+        (1, "the quick dog"),        # shares (the,quick) with doc 0
+        (2, "one"),                  # < 2 tokens -> zero row
+        (3, ""),                     # empty -> zero row
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in bigram_novelty(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    # (the,quick) occurs twice corpus-wide; the tail bigrams once each
+    assert out[0]["n_bigrams"] == 2
+    assert out[0]["sum_count"] == 2 + 1
+    assert out[0]["n_singleton_bigrams"] == 1
+    assert out[0]["mean_bigram_count"] == 1.5
+    assert out[0]["novelty_frac"] == 0.5
+    assert out[1] == {**out[0], "doc_id": 1}  # symmetric twin
+    for d in (2, 3):
+        assert out[d]["n_bigrams"] == 0
+        assert out[d]["sum_count"] == 0
+        assert out[d]["novelty_frac"] == 0.0
+
+
+def test_bigram_novelty_within_doc_repeat(spark):
+    from reffy_spark.operators.text_analysis import bigram_novelty
+
+    # "a b a b": bigrams (a,b),(b,a),(a,b) -> (a,b) counts 2, (b,a) 1
+    docs = spark.createDataFrame([(5, "a b a b")], ["doc_id", "text"])
+    row = bigram_novelty(docs).collect()[0]
+    assert row["n_bigrams"] == 3
+    assert row["sum_count"] == 2 + 1 + 2
+    assert row["n_singleton_bigrams"] == 1
+
+
+def test_bigram_novelty_boilerplate_vs_garbage(spark):
+    from reffy_spark.operators.text_analysis import bigram_novelty
+
+    boiler = [(i, "all rights reserved contact us") for i in range(5)]
+    garbage = [(99, "zxq vrk jjw qqpl mnop")]
+    docs = spark.createDataFrame(boiler + garbage, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in bigram_novelty(docs).collect()}
+    assert out[0]["novelty_frac"] == 0.0   # phrasing shared by 5 docs
+    assert out[99]["novelty_frac"] == 1.0  # phrasing unique to the doc

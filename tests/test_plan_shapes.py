@@ -302,3 +302,17 @@ def test_line_dedup_no_window_partial_agg(spark):
     plan = plan_of(line_dedup(docs))
     assert "Window" not in plan
     assert "partial_min" in plan or "Aggregate" in plan
+
+
+def test_bigram_novelty_no_window_two_shuffles(spark):
+    """The bigram count table and the per-doc fold must both be
+    partial-aggregable hash aggregates — no Window, no sort-based path;
+    anything else would funnel hot bigrams ("of the") into one task."""
+    from reffy_spark.operators.text_analysis import bigram_novelty
+
+    docs = spark.createDataFrame(
+        [(0, "the quick fox"), (1, "the quick dog")], ["doc_id", "text"]
+    )
+    plan = plan_of(bigram_novelty(docs))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
