@@ -1,0 +1,132 @@
+"""Link-graph analytics for crawl-frontier prioritization.
+
+A web-scale crawler schedules its frontier by page importance; the
+canonical signal is PageRank over the link graph the crawler itself
+extracts (Page et al. 1999; production crawl schedulers per Olston &
+Najork 2010, "Web Crawling" §4.2). The edge list here is the output of
+the links extraction module (``crawler.links_long`` — the analog of the
+reference's extract-links data, /root/reference/src/browserlib/
+extract-links.mjs), so the prioritizer closes the crawl loop: fetch →
+extract links → re-rank the frontier.
+
+Arithmetic is INTEGER FIXED-POINT (ranks scaled by 10^6, contributions
+via integer division) — cross-engine bit-exact by construction, the
+repo's house rule for oracle-checked scores (float sums are
+accumulation-order-dependent and a distributed groupBy has no order).
+The fixed-point iteration converges to within 1/scale of the float
+iteration; for frontier *ordering* that residual is irrelevant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def edges_from_links(links: DataFrame) -> DataFrame:
+    """Distinct (src, dst) edge list from a ``links_long``-shaped frame
+    (url_canon, page_url, ...). Fragment-level rows collapse to one
+    page-level edge; self-loops are kept (well-defined on both sides)."""
+    return (
+        links.select(
+            F.col("url_canon").alias("src"), F.col("page_url").alias("dst")
+        )
+        .filter(F.col("dst").isNotNull())
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Integer fixed-point PageRank over a distinct (src, dst) edge list.
+
+    Returns (url, out_degree, in_degree, rank_fp) where ``rank_fp`` is
+    the rank after ``n_iter`` synchronous iterations, scaled by
+    ``scale``:
+
+      rank_0(u)   = scale
+      contrib(u→v) = (rank(u) * damping_pct) DIV (100 * out_degree(u))
+      rank_i+1(v) = (scale * (100 - damping_pct)) DIV 100
+                    + Σ_{u→v} contrib(u)
+
+    Every operation is int64 (`DIV` is integral division in both Spark
+    SQL and DuckDB `//`), so the result is bit-identical regardless of
+    aggregation order — no float log/sum portability caveats. Dangling
+    mass (out_degree 0) is dropped, the standard large-scale
+    simplification (Olston & Najork 2010 §4.2.2): ranks then order, not
+    normalize, which is all a frontier scheduler consumes.
+
+    Scale shape (10^10-edge graphs): per iteration exactly one join of
+    edges against the rank table on ``src`` and one partial-aggregable
+    hash sum on ``dst`` — the classic distributed PageRank layout. The
+    edge list re-shuffles each iteration unless pre-partitioned; at
+    cluster scale, bucket/repartition the edge table by ``src`` once and
+    the per-iteration join co-locates (the rank table, N rows of two
+    longs, is the only moving side). Hot dst keys (a page every page
+    links to) are absorbed by the partial aggregation, not a window.
+    """
+    edges = edges.select("src", "dst")
+    deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    nodes = (
+        edges.select(F.col("src").alias("url"))
+        .union(edges.select(F.col("dst").alias("url")))
+        .distinct()
+    )
+    base = (scale * (100 - damping_pct)) // 100
+    ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
+    # out-degree rides the edge list so the per-iteration join is a
+    # single probe (edges+deg are loop-invariant — compute once)
+    ed = edges.join(deg, "src")
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("url", "src"), "src")
+            .select(
+                "dst",
+                F.expr(
+                    f"(rank_fp * {damping_pct}) DIV (100 * out_degree)"
+                ).alias("_c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "url"), "url", "left"
+        ).select(
+            "url",
+            (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0)))
+            .cast("long")
+            .alias("rank_fp"),
+        )
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+    return (
+        nodes.join(deg.withColumnRenamed("src", "url"), "url", "left")
+        .join(indeg.withColumnRenamed("dst", "url"), "url", "left")
+        .join(ranks, "url")
+        .select(
+            "url",
+            F.coalesce(F.col("out_degree"), F.lit(0)).cast("long").alias(
+                "out_degree"
+            ),
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias(
+                "in_degree"
+            ),
+            "rank_fp",
+        )
+    )
+
+
+def frontier_priority(
+    ranked: DataFrame, frontier: DataFrame, url_col: str = "url_canon"
+) -> DataFrame:
+    """Annotate a frontier with the link-graph rank; unknown URLs (never
+    seen as a link target) get rank 0 — fetched last within their host
+    budget. Pure left join + coalesce: composes with the politeness rank
+    (operators/frontier.py) as a secondary sort key."""
+    r = ranked.select(F.col("url").alias(url_col), "rank_fp")
+    return frontier.join(r, url_col, "left").withColumn(
+        "rank_fp", F.coalesce(F.col("rank_fp"), F.lit(0)).cast("long")
+    )

@@ -2874,3 +2874,71 @@ ORACLE_BIGRAM_NOVELTY = f"""
 
 EXT_QUERIES["bigram_novelty"] = q_bigram_novelty
 EXT_ORACLES["bigram_novelty"] = ORACLE_BIGRAM_NOVELTY
+
+
+# ---------------------------------------------------------------------------
+# link-graph PageRank — crawl-frontier prioritization (integer fixed-point)
+# ---------------------------------------------------------------------------
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the crawl-world link graph, edges produced by the
+    REAL extraction path (Arrow mapInPandas links module → links_long);
+    the oracle reconstructs the same edges arithmetically from the
+    deterministic crawl-world formula (the `extract_links` precedent)."""
+    from reffy_spark.operators.linkgraph import edges_from_links, pagerank
+    from reffy_spark.plans.entry_queries import build_crawl_world
+
+    pages, _seeds, _robots = build_crawl_world(spark, sf_dir)
+    from reffy_spark.extractors.base import extract_all
+    from reffy_spark.operators.crawler import links_long
+
+    ext = extract_all(pages, ["links"]).withColumnRenamed("url", "url_canon")
+    return pagerank(edges_from_links(links_long(ext)), n_iter=3)
+
+
+ORACLE_PAGERANK = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    t0 AS (
+      SELECT d.doc_id AS i, (d.doc_id * m.m + m.m) % nn.n AS t
+      FROM documents d, nn, (VALUES (7), (13), (29), (41)) m(m)
+    ),
+    edges AS (
+      SELECT DISTINCT
+        'https://h' || (i % 8) || '.test/spec-' || i || '/' AS src,
+        'https://h' || (t % 8) || '.test/spec-' || t || '/' AS dst
+      FROM t0
+    ),
+    nodes AS (
+      SELECT DISTINCT url FROM (
+        SELECT src AS url FROM edges UNION SELECT dst FROM edges
+      )
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, deg.d AS d FROM edges e JOIN deg USING (src)),
+    r0 AS (SELECT url, 1000000::BIGINT AS r FROM nodes),
+    c1 AS (SELECT ed.dst, sum((r.r * 85) // (100 * ed.d)) AS s
+           FROM ed JOIN r0 r ON ed.src = r.url GROUP BY ed.dst),
+    r1 AS (SELECT n.url, (150000 + coalesce(c.s, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c1 c ON n.url = c.dst),
+    c2 AS (SELECT ed.dst, sum((r.r * 85) // (100 * ed.d)) AS s
+           FROM ed JOIN r1 r ON ed.src = r.url GROUP BY ed.dst),
+    r2 AS (SELECT n.url, (150000 + coalesce(c.s, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c2 c ON n.url = c.dst),
+    c3 AS (SELECT ed.dst, sum((r.r * 85) // (100 * ed.d)) AS s
+           FROM ed JOIN r2 r ON ed.src = r.url GROUP BY ed.dst),
+    r3 AS (SELECT n.url, (150000 + coalesce(c.s, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c3 c ON n.url = c.dst),
+    indeg AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst)
+    SELECT n.url,
+           coalesce(deg.d, 0)::BIGINT AS out_degree,
+           coalesce(indeg.ind, 0)::BIGINT AS in_degree,
+           r3.r AS rank_fp
+    FROM nodes n
+    LEFT JOIN deg ON n.url = deg.src
+    LEFT JOIN indeg ON n.url = indeg.dst
+    JOIN r3 ON n.url = r3.url
+"""
+
+EXT_QUERIES["pagerank"] = q_pagerank
+EXT_ORACLES["pagerank"] = ORACLE_PAGERANK

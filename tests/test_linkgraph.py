@@ -1,0 +1,87 @@
+"""Link-graph PageRank (integer fixed-point) — crawl prioritization."""
+
+from pyspark.sql import functions as F
+
+
+def test_pagerank_hand_computed(spark):
+    """A→B, B→A, A→C at scale=100, damping 85%, 2 iterations.
+
+    base = 15; r0 = 100 everywhere.
+    iter1: contrib(A→·) = (100*85) DIV 200 = 42, contrib(B→A) = 85
+           → A=100, B=57, C=57
+    iter2: contrib(A→·) = 42, contrib(B→A) = (57*85) DIV 100 = 48
+           → A=63, B=57, C=57
+    """
+    from reffy_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("A", "C")], ["src", "dst"]
+    )
+    out = {
+        r["url"]: r.asDict()
+        for r in pagerank(edges, n_iter=2, scale=100).collect()
+    }
+    assert out["A"]["rank_fp"] == 63
+    assert out["B"]["rank_fp"] == 57
+    assert out["C"]["rank_fp"] == 57
+    assert (out["A"]["out_degree"], out["A"]["in_degree"]) == (2, 1)
+    assert (out["C"]["out_degree"], out["C"]["in_degree"]) == (0, 1)
+
+
+def test_pagerank_sink_accumulates(spark):
+    """A hub everyone links to must outrank the spokes."""
+    from reffy_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [(f"s{i}", "hub") for i in range(5)] + [("hub", "s0")],
+        ["src", "dst"],
+    )
+    out = {r["url"]: r["rank_fp"] for r in pagerank(edges, n_iter=3).collect()}
+    assert out["hub"] > out["s0"] > out["s1"]
+    assert out["s1"] == out["s4"]  # symmetric spokes tie exactly
+
+
+def test_edges_from_links_collapses_fragments(spark):
+    from reffy_spark.operators.linkgraph import edges_from_links
+
+    links = spark.createDataFrame(
+        [
+            ("u1", "t1", "frag-a", False),
+            ("u1", "t1", "frag-b", True),
+            ("u1", None, None, False),
+        ],
+        ["url_canon", "page_url", "fragment", "is_autolink"],
+    )
+    got = edges_from_links(links).collect()
+    assert [(r["src"], r["dst"]) for r in got] == [("u1", "t1")]
+
+
+def test_frontier_priority_left_join_zero_default(spark):
+    from reffy_spark.operators.linkgraph import frontier_priority, pagerank
+
+    edges = spark.createDataFrame([("A", "B")], ["src", "dst"])
+    ranked = pagerank(edges, n_iter=1)
+    frontier = spark.createDataFrame(
+        [("A", 0), ("unknown", 1)], ["url_canon", "depth"]
+    )
+    out = {
+        r["url_canon"]: r["rank_fp"]
+        for r in frontier_priority(ranked, frontier).collect()
+    }
+    assert out["A"] > 0
+    assert out["unknown"] == 0
+
+
+def test_pagerank_no_window(spark):
+    """Contribution fold must be a partial-aggregable hash sum (hot dst
+    keys — a page everyone links to — must not funnel into one task)."""
+    from reffy_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame([("A", "B"), ("B", "A")], ["src", "dst"])
+    plan = (
+        pagerank(edges, n_iter=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
