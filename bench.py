@@ -54,6 +54,9 @@ HEADLINE = [
     "ann_topk_multiprobe",
     "extract_headings",
     "events_rollup",
+    # crawl-frontier prioritization: real links extraction feeding 3
+    # integer fixed-point PageRank iterations (join + hash-sum each)
+    "pagerank",
     # full-engine single-round crawl with conditional-recrawl reuse:
     # 2/3 of pages match the fallback etag and skip extraction
     "fallback_reuse",

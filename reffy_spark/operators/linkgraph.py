@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# swept on the next pagerank() call (the closure-cache pattern from
+# plans/postprocess.py — persist the loop invariant, release it lazily)
+_pr_caches: list[DataFrame] = []
+
 
 def edges_from_links(links: DataFrame) -> DataFrame:
     """Distinct (src, dst) edge list from a ``links_long``-shaped frame
@@ -69,13 +73,29 @@ def pagerank(
     longs, is the only moving side). Hot dst keys (a page every page
     links to) are absorbed by the partial aggregation, not a window.
     """
-    edges = edges.select("src", "dst")
+    from pyspark.storagelevel import StorageLevel
+
+    global _pr_caches
+    for cached in _pr_caches:
+        try:
+            cached.unpersist(blocking=False)
+        except Exception:
+            pass
+    _pr_caches = []
+    # the edge list is the loop invariant with an arbitrarily expensive
+    # lineage behind it (Arrow links extraction): without a persist,
+    # deg/nodes/indeg and every iteration's join would each re-run that
+    # lineage (measured ~7× recompute at sf0.1)
+    edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
+    _pr_caches.append(edges)
     deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
     nodes = (
         edges.select(F.col("src").alias("url"))
         .union(edges.select(F.col("dst").alias("url")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _pr_caches.append(nodes)
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
     # out-degree rides the edge list so the per-iteration join is a
