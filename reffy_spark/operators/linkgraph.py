@@ -150,3 +150,18 @@ def frontier_priority(
     return frontier.join(r, url_col, "left").withColumn(
         "rank_fp", F.coalesce(F.col("rank_fp"), F.lit(0)).cast("long")
     )
+
+
+def edges_to_host_graph(edges: DataFrame) -> DataFrame:
+    """Collapse a page-level edge list to the distinct host graph —
+    the crawl scheduler's domain-authority input (host-level PageRank
+    decides politeness-budget allocation across domains; page-level
+    decides order within a domain). Distinct edges, self-loops kept:
+    intra-host links are real authority flow for a crawler deciding how
+    deep to go within a site."""
+    from reffy_spark.functions.urls import host_col
+
+    return edges.select(
+        host_col(F.col("src")).alias("src"),
+        host_col(F.col("dst")).alias("dst"),
+    ).distinct()

@@ -2942,3 +2942,68 @@ ORACLE_PAGERANK = """
 
 EXT_QUERIES["pagerank"] = q_pagerank
 EXT_ORACLES["pagerank"] = ORACLE_PAGERANK
+
+
+def q_host_authority(spark, sf_dir):
+    """Host-level PageRank (domain authority) over the crawl-world link
+    graph — politeness-budget allocation across domains."""
+    from reffy_spark.extractors.base import extract_all
+    from reffy_spark.operators.crawler import links_long
+    from reffy_spark.operators.linkgraph import (
+        edges_from_links,
+        edges_to_host_graph,
+        pagerank,
+    )
+    from reffy_spark.plans.entry_queries import build_crawl_world
+
+    pages, _seeds, _robots = build_crawl_world(spark, sf_dir)
+    ext = extract_all(pages, ["links"]).withColumnRenamed("url", "url_canon")
+    host_edges = edges_to_host_graph(edges_from_links(links_long(ext)))
+    return pagerank(host_edges, n_iter=3).withColumnRenamed("url", "host")
+
+
+ORACLE_HOST_AUTHORITY = """
+    WITH nn AS (SELECT count(*) AS n FROM documents),
+    t0 AS (
+      SELECT d.doc_id AS i, (d.doc_id * m.m + m.m) % nn.n AS t
+      FROM documents d, nn, (VALUES (7), (13), (29), (41)) m(m)
+    ),
+    edges AS (
+      SELECT DISTINCT
+        'h' || (i % 8) || '.test' AS src,
+        'h' || (t % 8) || '.test' AS dst
+      FROM t0
+    ),
+    nodes AS (
+      SELECT DISTINCT url FROM (
+        SELECT src AS url FROM edges UNION SELECT dst FROM edges
+      )
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    ed AS (SELECT e.src, e.dst, deg.d AS d FROM edges e JOIN deg USING (src)),
+    r0 AS (SELECT url, 1000000::BIGINT AS r FROM nodes),
+    c1 AS (SELECT ed.dst, sum((r.r * 85) // (100 * ed.d)) AS s
+           FROM ed JOIN r0 r ON ed.src = r.url GROUP BY ed.dst),
+    r1 AS (SELECT n.url, (150000 + coalesce(c.s, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c1 c ON n.url = c.dst),
+    c2 AS (SELECT ed.dst, sum((r.r * 85) // (100 * ed.d)) AS s
+           FROM ed JOIN r1 r ON ed.src = r.url GROUP BY ed.dst),
+    r2 AS (SELECT n.url, (150000 + coalesce(c.s, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c2 c ON n.url = c.dst),
+    c3 AS (SELECT ed.dst, sum((r.r * 85) // (100 * ed.d)) AS s
+           FROM ed JOIN r2 r ON ed.src = r.url GROUP BY ed.dst),
+    r3 AS (SELECT n.url, (150000 + coalesce(c.s, 0))::BIGINT AS r
+           FROM nodes n LEFT JOIN c3 c ON n.url = c.dst),
+    indeg AS (SELECT dst, count(*) AS ind FROM edges GROUP BY dst)
+    SELECT n.url AS host,
+           coalesce(deg.d, 0)::BIGINT AS out_degree,
+           coalesce(indeg.ind, 0)::BIGINT AS in_degree,
+           r3.r AS rank_fp
+    FROM nodes n
+    LEFT JOIN deg ON n.url = deg.src
+    LEFT JOIN indeg ON n.url = indeg.dst
+    JOIN r3 ON n.url = r3.url
+"""
+
+EXT_QUERIES["host_authority"] = q_host_authority
+EXT_ORACLES["host_authority"] = ORACLE_HOST_AUTHORITY

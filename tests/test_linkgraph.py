@@ -85,3 +85,20 @@ def test_pagerank_no_window(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_edges_to_host_graph_collapses_and_keeps_self_loops(spark):
+    from reffy_spark.operators.linkgraph import edges_to_host_graph
+
+    edges = spark.createDataFrame(
+        [
+            ("https://a.test/p1", "https://b.test/x"),
+            ("https://a.test/p2", "https://b.test/y"),   # same host pair
+            ("https://a.test/p1", "https://a.test/p9"),  # intra-host
+        ],
+        ["src", "dst"],
+    )
+    got = sorted(
+        (r["src"], r["dst"]) for r in edges_to_host_graph(edges).collect()
+    )
+    assert got == [("a.test", "a.test"), ("a.test", "b.test")]
