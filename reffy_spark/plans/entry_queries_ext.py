@@ -3007,3 +3007,105 @@ ORACLE_HOST_AUTHORITY = """
 
 EXT_QUERIES["host_authority"] = q_host_authority
 EXT_ORACLES["host_authority"] = ORACLE_HOST_AUTHORITY
+
+
+# ---------------------------------------------------------------------------
+# temporal operators: as-of join + gap sessionization (events table)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_prior_signup(spark, sf_dir):
+    """For each purchase, the latest signup at-or-before it per user —
+    kdb aj / DuckDB ASOF JOIN semantics via union + running last."""
+    from reffy_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(left, right)
+
+
+ORACLE_ASOF_PRIOR_SIGNUP = """
+    WITH l AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    r0 AS (
+      SELECT user_id, ts, max(value) AS value FROM events
+      WHERE event_type = 'signup' GROUP BY user_id, ts
+    )
+    SELECT l.event_id, l.user_id, l.ts, l.value,
+           r0.ts AS asof_ts, r0.value AS asof_value
+    FROM l ASOF LEFT JOIN r0
+      ON l.user_id = r0.user_id AND l.ts >= r0.ts
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) of the event stream."""
+    from reffy_spark.operators.temporal import sessionize
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return sessionize(ev)
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+    WITH s AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    )
+    SELECT event_id, user_id, ts, event_type,
+           sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                        )::BIGINT AS session_idx
+    FROM s
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session rollup: counts + min/max only (no cross-row float
+    sums) — bit-exact vs the oracle."""
+    from reffy_spark.operators.temporal import session_stats
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return session_stats(ev)
+
+
+ORACLE_SESSION_STATS = """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, ts,
+             sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          )::BIGINT AS session_idx
+      FROM s
+    )
+    SELECT user_id, session_idx,
+           count(*)::BIGINT AS n_events,
+           min(ts) AS start_ts,
+           max(ts) AS end_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts)))::BIGINT AS duration_us
+    FROM g GROUP BY user_id, session_idx
+"""
+
+EXT_QUERIES["asof_prior_signup"] = q_asof_prior_signup
+EXT_ORACLES["asof_prior_signup"] = ORACLE_ASOF_PRIOR_SIGNUP
+EXT_QUERIES["sessionize_events"] = q_sessionize_events
+EXT_ORACLES["sessionize_events"] = ORACLE_SESSIONIZE_EVENTS
+EXT_QUERIES["session_stats"] = q_session_stats
+EXT_ORACLES["session_stats"] = ORACLE_SESSION_STATS

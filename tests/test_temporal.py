@@ -1,0 +1,109 @@
+"""As-of join + gap sessionization semantics."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_asof_join_latest_at_or_before(spark):
+    from reffy_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, _ts(30), 9.0), (2, 100, _ts(5), 1.0), (3, 200, _ts(30), 2.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(10), 7.0), (100, _ts(20), 8.0), (999, _ts(0), 5.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {r["event_id"]: r.asDict() for r in asof_join(left, right).collect()}
+    assert out[1]["asof_ts"] == _ts(20) and out[1]["asof_value"] == 8.0
+    # left at 10:05 predates every right row for the user → nulls
+    assert out[2]["asof_ts"] is None and out[2]["asof_value"] is None
+    # user 200 has no right rows at all
+    assert out[3]["asof_ts"] is None
+
+
+def test_asof_join_tie_on_ts_matches(spark):
+    from reffy_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts(10), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(5, _ts(10), 3.0)], "user_id long, ts timestamp, value double"
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row["asof_ts"] == _ts(10) and row["asof_value"] == 3.0
+
+
+def test_asof_join_null_right_value_still_wins(spark):
+    """A newer right row with a NULL value must beat an older non-null
+    one (the struct carry, not a bare last(value, ignorenulls))."""
+    from reffy_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, _ts(30), 0.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(5, _ts(10), 7.0), (5, _ts(20), None)],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row["asof_ts"] == _ts(20)
+    assert row["asof_value"] is None
+
+
+def test_sessionize_gap_boundary(spark):
+    """Gap strictly greater than 30 min starts a session; exactly 30 min
+    does not."""
+    from reffy_spark.operators.temporal import sessionize
+
+    rows = [
+        (1, 7, _ts(0)),
+        (2, 7, _ts(30)),          # exactly 30 min later → same session
+        (3, 7, _ts(30, 1)),       # 1s more
+        (4, 7, dt.datetime(2024, 1, 1, 11, 0, 2)),  # 30m1s gap → new
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r["event_id"]: r["session_idx"] for r in sessionize(ev).collect()}
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1}
+
+
+def test_session_stats_rollup(spark):
+    from reffy_spark.operators.temporal import session_stats
+
+    rows = [
+        (1, 7, _ts(0)),
+        (2, 7, _ts(10)),
+        (3, 7, dt.datetime(2024, 1, 1, 12, 0)),  # new session
+        (4, 8, _ts(0)),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        (r["user_id"], r["session_idx"]): r.asDict()
+        for r in session_stats(ev).collect()
+    }
+    assert out[(7, 0)]["n_events"] == 2
+    assert out[(7, 0)]["duration_us"] == 10 * 60 * 1_000_000
+    assert out[(7, 1)]["n_events"] == 1 and out[(7, 1)]["duration_us"] == 0
+    assert out[(8, 0)]["n_events"] == 1
+
+
+def test_sessionize_single_sort(spark):
+    """lag + running sum must share one exchange+sort (same window
+    spec), not two."""
+    from reffy_spark.operators.temporal import sessionize
+
+    ev = spark.createDataFrame(
+        [(1, 7, _ts(0))], "event_id long, user_id long, ts timestamp"
+    )
+    plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Sort ") <= 1
