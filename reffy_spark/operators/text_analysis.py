@@ -171,3 +171,56 @@ def bigram_novelty(
             ).otherwise(F.lit(0.0)),
         )
     )
+
+
+def doc_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Top-``k`` keywords per document by term frequency, with the
+    corpus document frequency attached — the integer-exact core of
+    tf-idf keyword extraction (the idf *log* is monotone in df, so
+    ranking and filtering by raw ``df`` is order-equivalent and avoids
+    cross-engine float logs entirely):
+
+      (doc_id, token, tf, df, rank)
+
+    Ties break by token text ascending — fully deterministic. Stopwords
+    (default STOPWORDS_EN) are excluded before ranking.
+
+    Scale shape: tf is a partial-aggregable (doc, token) count; df a
+    partial-aggregable token count over the distinct pairs; the top-k
+    window partitions by doc_id — a group bounded by the document's own
+    vocabulary, not by corpus size (the politeness-skew rule: windows
+    only over per-row-bounded groups).
+    """
+    sw = STOPWORDS_EN if stopwords is None else stopwords
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    tok = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .filter(~F.array_contains(sw_arr, F.col("token")))
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("token").asc()
+    )
+    return (
+        tf.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(df_, "token")
+        .select(
+            "doc_id", "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -3109,3 +3109,41 @@ EXT_QUERIES["sessionize_events"] = q_sessionize_events
 EXT_ORACLES["sessionize_events"] = ORACLE_SESSIONIZE_EVENTS
 EXT_QUERIES["session_stats"] = q_session_stats
 EXT_ORACLES["session_stats"] = ORACLE_SESSION_STATS
+
+
+def q_doc_keywords(spark, sf_dir):
+    """Per-doc top-5 keywords by tf with corpus df — integer-exact
+    tf-idf keyword extraction (df is monotone in idf)."""
+    from reffy_spark.operators.text_analysis import doc_keywords
+
+    return doc_keywords(load(spark, sf_dir, "documents"))
+
+
+ORACLE_DOC_KEYWORDS = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_Q_TOKS}) AS token FROM documents
+    ),
+    filt AS (
+      SELECT doc_id, token FROM tok
+      WHERE token NOT IN ('the','a','of','and','to','in','is','that','it','for')
+    ),
+    tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM filt GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, count(*) AS df FROM tf GROUP BY token
+    ),
+    ranked AS (
+      SELECT doc_id, token, tf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tf DESC, token ASC) AS rank
+      FROM tf
+    )
+    SELECT r.doc_id, r.token,
+           r.tf::BIGINT AS tf, d.df::BIGINT AS df, r.rank::BIGINT AS rank
+    FROM ranked r JOIN dfreq d USING (token)
+    WHERE r.rank <= 5
+"""
+
+EXT_QUERIES["doc_keywords"] = q_doc_keywords
+EXT_ORACLES["doc_keywords"] = ORACLE_DOC_KEYWORDS

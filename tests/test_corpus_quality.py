@@ -318,3 +318,30 @@ def test_bigram_novelty_boilerplate_vs_garbage(spark):
     out = {r["doc_id"]: r for r in bigram_novelty(docs).collect()}
     assert out[0]["novelty_frac"] == 0.0   # phrasing shared by 5 docs
     assert out[99]["novelty_frac"] == 1.0  # phrasing unique to the doc
+
+
+def test_doc_keywords_rank_and_ties(spark):
+    from reffy_spark.operators.text_analysis import doc_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "zz zz yy yy aa bb the the the")], ["doc_id", "text"]
+    )
+    rows = sorted(
+        doc_keywords(docs, k=3).collect(), key=lambda r: r["rank"]
+    )
+    # stopword "the" excluded despite highest tf; tf ties break by token
+    assert [(r["token"], r["tf"], r["rank"]) for r in rows] == [
+        ("yy", 2, 1), ("zz", 2, 2), ("aa", 1, 3)
+    ]
+
+
+def test_doc_keywords_df_counts_docs_not_occurrences(spark):
+    from reffy_spark.operators.text_analysis import doc_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "apple apple apple"), (1, "apple pear")], ["doc_id", "text"]
+    )
+    out = {(r["doc_id"], r["token"]): r for r in doc_keywords(docs).collect()}
+    assert out[(0, "apple")]["df"] == 2   # 2 docs, not 4 occurrences
+    assert out[(0, "apple")]["tf"] == 3
+    assert out[(1, "pear")]["df"] == 1
