@@ -165,3 +165,84 @@ def edges_to_host_graph(edges: DataFrame) -> DataFrame:
         host_col(F.col("src")).alias("src"),
         host_col(F.col("dst")).alias("dst"),
     ).distinct()
+
+
+def apportion_budget(
+    ranked: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    rank_col: str = "rank_fp",
+) -> DataFrame:
+    """Split a global crawl budget across hosts proportionally to their
+    authority rank — largest-remainder apportionment (Hamilton's
+    method), the deterministic integer classic:
+
+      base_i = (B * rank_i) DIV S          (S = Σ rank)
+      the B - Σ base leftover units go to the hosts with the largest
+      remainders (B * rank_i) % S, ties by host ascending.
+
+    Σ budget == B exactly (tested) and every step is int64 — oracle
+    bit-exact. Closes the authority → scheduling loop:
+    ``host_authority`` feeds this; the output feeds the politeness
+    machinery (operators/frontier.py host_budgets consumers).
+
+    Scale shape: the remainder rank is the frontier's two-phase pattern
+    (range-repartition on (rem desc, host), partition-local row_number,
+    broadcast offset table) — no single-task sort of the whole host
+    table at 10^8 hosts. The two scalar aggregates (S, deficit) ride a
+    broadcast crossJoin, not a driver action.
+    """
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    B = int(total_budget)
+    h = ranked.select(
+        F.col(host_col).alias("host"),
+        F.col(rank_col).cast("long").alias("_r"),
+    )
+    tot = h.agg(F.sum("_r").alias("_S"))
+    j = (
+        h.crossJoin(F.broadcast(tot))
+        .withColumn("_base", F.expr(f"({B} * _r) DIV _S"))
+        .withColumn("_rem", F.expr(f"({B} * _r) % _S"))
+    )
+    spark = ranked.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        j.repartitionByRange(nparts, F.col("_rem").desc(), F.col("host"))
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    global _pr_caches
+    _pr_caches.append(part)
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # offset table: rows in earlier range partitions — P rows, broadcast;
+    # the single-partition window is over P≈shuffle.partitions rows only
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    offs = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(woff), F.lit(0)).alias("_off")
+    )
+    deficit = part.agg((F.lit(B) - F.sum("_base")).alias("_d"))
+    wloc = Window.partitionBy("_pid").orderBy(
+        F.col("_rem").desc(), F.col("host")
+    )
+    out = (
+        part.withColumn("_lrn", F.row_number().over(wloc))
+        .join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(deficit))
+        .select(
+            "host",
+            F.col("_r").alias("rank_fp"),
+            (
+                F.col("_base")
+                + F.when(
+                    F.col("_lrn") + F.col("_off") <= F.col("_d"), F.lit(1)
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("budget"),
+        )
+    )
+    return out

@@ -3147,3 +3147,38 @@ ORACLE_DOC_KEYWORDS = f"""
 
 EXT_QUERIES["doc_keywords"] = q_doc_keywords
 EXT_ORACLES["doc_keywords"] = ORACLE_DOC_KEYWORDS
+
+
+def q_budget_apportion(spark, sf_dir):
+    """Global crawl budget (100k fetch slots) apportioned across hosts
+    by authority rank — Hamilton largest-remainder, all-integer."""
+    from reffy_spark.operators.linkgraph import apportion_budget
+
+    ha = q_host_authority(spark, sf_dir)
+    return apportion_budget(ha, total_budget=100_000)
+
+
+ORACLE_BUDGET_APPORTION = (
+    "    WITH ha AS (" + ORACLE_HOST_AUTHORITY + """
+    ),
+    tot AS (SELECT sum(rank_fp) AS S FROM ha),
+    j AS (
+      SELECT host, rank_fp,
+             (100000 * rank_fp) // S AS base,
+             (100000 * rank_fp) % S AS rem
+      FROM ha, tot
+    ),
+    d AS (SELECT 100000 - sum(base) AS defi FROM j),
+    r AS (
+      SELECT host, rank_fp, base, rem,
+             row_number() OVER (ORDER BY rem DESC, host ASC) AS rn
+      FROM j
+    )
+    SELECT r.host, r.rank_fp,
+           (r.base + CASE WHEN r.rn <= d.defi THEN 1 ELSE 0 END)::BIGINT
+             AS budget
+    FROM r, d
+""")
+
+EXT_QUERIES["budget_apportion"] = q_budget_apportion
+EXT_ORACLES["budget_apportion"] = ORACLE_BUDGET_APPORTION

@@ -102,3 +102,45 @@ def test_edges_to_host_graph_collapses_and_keeps_self_loops(spark):
         (r["src"], r["dst"]) for r in edges_to_host_graph(edges).collect()
     )
     assert got == [("a.test", "a.test"), ("a.test", "b.test")]
+
+
+def test_apportion_budget_sums_exactly_and_follows_remainders(spark):
+    from reffy_spark.operators.linkgraph import apportion_budget
+
+    # ranks 5,3,2 with B=10 → exact shares 5,3,2 (no remainder units);
+    # B=11 → bases (55//10, 33//10, 22//10) = 5,3,2, deficit 1, largest
+    # remainder: a=5 (55%10), b=3 (33%10... 3), rems 5,3,2 → host a +1
+    ranked = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 2)], ["host", "rank_fp"]
+    )
+    out10 = {r["host"]: r["budget"] for r in apportion_budget(ranked, 10).collect()}
+    assert out10 == {"a": 5, "b": 3, "c": 2}
+    out11 = {r["host"]: r["budget"] for r in apportion_budget(ranked, 11).collect()}
+    assert out11 == {"a": 6, "b": 3, "c": 2}
+    assert sum(out11.values()) == 11
+
+
+def test_apportion_budget_remainder_tie_breaks_by_host(spark):
+    from reffy_spark.operators.linkgraph import apportion_budget
+
+    # equal ranks, B=5 over 3 hosts: bases 1 each, 2 leftovers → hosts
+    # 'a' and 'b' (equal remainders, host asc) get them
+    ranked = spark.createDataFrame(
+        [("c", 7), ("a", 7), ("b", 7)], ["host", "rank_fp"]
+    )
+    out = {r["host"]: r["budget"] for r in apportion_budget(ranked, 5).collect()}
+    assert out == {"a": 2, "b": 2, "c": 1}
+    assert sum(out.values()) == 5
+
+
+def test_apportion_budget_exact_sum_large(spark):
+    from reffy_spark.operators.linkgraph import apportion_budget
+    from pyspark.sql import functions as F
+
+    ranked = spark.range(0, 997).selectExpr(
+        "concat('h', id) AS host", "(id * 37 + 11) AS rank_fp"
+    )
+    out = apportion_budget(ranked, 123_457)
+    total = out.agg(F.sum("budget")).collect()[0][0]
+    assert total == 123_457
+    assert out.count() == 997
