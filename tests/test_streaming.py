@@ -129,3 +129,56 @@ def test_stateful_politeness_permits_continue_across_runs(spark, tmp_path_factor
     assert [r["permitted_round"] for r in a2] == [2, 3, 3]
     # exactly-once: first-day rows were not re-emitted
     assert after.count() == 7 + 3
+
+
+def test_session_window_native_matches_exact_sessionize(spark):
+    """The built-in session_window rollup must agree with the exact
+    batch operator on the real events table (sub-second timestamps →
+    the one boundary-semantics edge cannot fire)."""
+    from reffy_spark.operators.temporal import session_stats
+    from reffy_spark.streaming.sessions import session_stats_native
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id", "ts"
+    )
+    exact = {
+        (r["user_id"], str(r["start_ts"])): (r["n_events"], str(r["end_ts"]), r["duration_us"])
+        for r in session_stats(ev).collect()
+    }
+    native = {
+        (r["user_id"], str(r["start_ts"])): (r["n_events"], str(r["end_ts"]), r["duration_us"])
+        for r in session_stats_native(ev).collect()
+    }
+    assert exact == native
+
+
+def test_streaming_sessions_availablenow(spark, tmp_path_factory):
+    import datetime as dt
+
+    from reffy_spark.streaming.sessions import run_streaming_sessions
+
+    src = str(tmp_path_factory.mktemp("sess_src"))
+    out = str(tmp_path_factory.mktemp("sess_out"))
+    chk = str(tmp_path_factory.mktemp("sess_chk"))
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1, 10, minute)
+
+    batch1 = [(1, 7, t(0)), (2, 7, t(10)), (3, 8, t(5))]
+    spark.createDataFrame(
+        batch1, "event_id long, user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+    # a far-future sentinel pushes the watermark past every real
+    # session so append mode flushes them (sessions emit on close)
+    sentinel = [(99, 999, dt.datetime(2024, 1, 2, 10, 0))]
+    spark.createDataFrame(
+        sentinel, "event_id long, user_id long, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    run_streaming_sessions(spark, src, out, chk)
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] != 999
+    }
+    assert got == {(7, 2), (8, 1)}
