@@ -144,3 +144,35 @@ def test_apportion_budget_exact_sum_large(spark):
     total = out.agg(F.sum("budget")).collect()[0][0]
     assert total == 123_457
     assert out.count() == 997
+
+
+def test_pagerank_priority_drives_politeness_selection(spark):
+    """End-to-end authority → scheduling: pagerank feeds the frontier's
+    priority column; the politeness budget then selects the
+    highest-authority URLs first within the host budget."""
+    from reffy_spark.operators.frontier import politeness_rank, to_frontier
+    from reffy_spark.operators.linkgraph import pagerank
+
+    u1, u2, u3 = (f"https://h0.test/u{i}" for i in (1, 2, 3))
+    edges = spark.createDataFrame(
+        [(u2, u1), (u3, u1), (u1, u2)], ["src", "dst"]
+    )
+    ranked = pagerank(edges, n_iter=3)
+    urls = spark.createDataFrame([(u,) for u in (u1, u2, u3)], ["url"])
+    with_rank = urls.join(
+        ranked.withColumnRenamed("url", "u"), urls.url == F.col("u")
+    )
+    pending = to_frontier(
+        with_rank, priority_col=F.col("rank_fp").cast("double")
+    )
+    robots = spark.createDataFrame(
+        [("h0.test", "/", True, 100)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    # round_ms=200 / delay 100 → budget 2: the hub and its best spoke
+    out = politeness_rank(pending, robots, round_ms=200, max_crawl_delay_ms=100)
+    got = [
+        r["url_canon"]
+        for r in out.orderBy("host_fetch_rank").collect()
+    ]
+    assert got == [u1, u2]  # u3 (lowest authority) waits for a later round
