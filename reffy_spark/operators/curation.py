@@ -27,12 +27,15 @@ Scale notes (100 TB):
 * ``pii_scan`` and ``classifier_score`` are single-scan, zero-shuffle
   narrow transforms — they pipeline into whatever stage reads the text
   column (plan-tested: no Exchange).
-* ``url_filter`` with a Python-list blocklist folds the list into the
-  plan as a literal ``isin`` (Catalyst turns it into a hash set /
-  InSet — no join at all). With a DataFrame blocklist it is an
-  explicit ``broadcast()`` left-anti-style join: domain blocklists are
-  KBs–MBs (the public UT1/Blacklists corpus is ~4M lines ≈ 80 MB),
-  never corpus-scale, so the corpus side never shuffles.
+* ``url_filter`` with a Python-list blocklist folds the exact-match
+  part into the plan as a literal ``isin`` (Catalyst turns it into a
+  hash set / InSet); subdomain-suffix matching is a per-domain OR, so
+  multi-million-entry lists (the public UT1/Blacklists corpus is ~4M
+  lines ≈ 80 MB) must use the DataFrame path, where the blocklist is
+  a ``broadcast()`` semi-join against the DISTINCT host set — one row
+  per blocked host, joined back on host equality, so overlapping
+  blocklist entries never multiply corpus rows and the corpus side
+  never shuffles.
 """
 
 from __future__ import annotations
@@ -82,8 +85,13 @@ def pii_scan(
     counted as an email, not later double-counted by the phone rule);
     redaction is applied sequentially in ``_PII_FAMILIES`` order.
     Single scan, zero shuffle.
+
+    NULL text is treated as empty: ``regexp_extract_all(NULL)`` is NULL
+    and legacy ``size(NULL)`` is -1, which would yield negative counts
+    and a NULL ``redacted`` — coalescing to '' keeps counts at 0 and
+    redaction total.
     """
-    text = F.col(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     cols = [F.col(id_col)] + [
         F.size(F.regexp_extract_all(text, F.lit(pat), 0)).alias(f"n_{name}")
         for name, pat, _ in _PII_FAMILIES
@@ -121,39 +129,52 @@ def url_filter(
     (``utm_*``, ``session=``) are flagged in ``has_tracking`` — a soft
     signal, not a block.
 
-    ``blocked_domains`` as a Python list folds into the plan (InSet —
-    no join). As a single-column DataFrame it becomes an explicit
-    ``broadcast()`` join: the blocklist side is always KB–MB scale, the
-    corpus side never shuffles.
+    ``blocked_domains`` as a Python list folds the exact-match part
+    into the plan as ``isin`` (Catalyst compiles it to an InSet hash
+    probe); the subdomain-suffix part is a per-domain ``endswith`` OR —
+    so large (>~1k-entry) lists should use the DataFrame path. As a
+    single-column DataFrame the verdict is derived WITHOUT row
+    multiplication: the distinct host set is left-semi-joined against
+    the broadcast blocklist (exact OR suffix match) to build a
+    blocked-host frame with exactly one row per host, which is then
+    left-joined back on host equality — a blocklist containing both a
+    domain and its subdomain (UT1 routinely does) cannot duplicate
+    input rows. The corpus side never shuffles; the only shuffle is the
+    host-level distinct (~|hosts| rows, partial-aggregated).
     """
     url = F.col(url_col)
     host = _host_col(url)
     out = df.withColumn("host", host)
 
-    # suffix matching: exact host OR host endswith ".domain" — covers
-    # subdomains without a per-row explode of the suffix chain.
-    def _dom_hits(domain: Column) -> Column:
-        return (F.col("host") == domain) | F.col("host").endswith(
-            F.concat(F.lit("."), domain)
-        )
-
     if isinstance(blocked_domains, DataFrame):
         bl = blocked_domains.select(F.lower(F.col(blocked_domains.columns[0])).alias("_bl_dom")).distinct()
-        hit = (
-            out.join(
+        # One row per blocked host (left_semi dedupes multi-domain hits:
+        # {bad.org, sub.bad.org} vs host x.sub.bad.org matches twice in
+        # the raw join but yields ONE semi-join row), then an equi left
+        # join back — output cardinality == input cardinality, always.
+        blocked_hosts = (
+            out.select("host")
+            .distinct()
+            .join(
                 F.broadcast(bl),
                 (F.col("host") == F.col("_bl_dom"))
                 | F.col("host").endswith(F.concat(F.lit("."), F.col("_bl_dom"))),
-                "left",
+                "left_semi",
             )
-            .withColumn("_dom_blocked", F.col("_bl_dom").isNotNull())
-            .drop("_bl_dom")
+            .withColumn("_dom_blocked", F.lit(True))
         )
-        out = hit
+        out = out.join(F.broadcast(blocked_hosts), "host", "left").withColumn(
+            "_dom_blocked", F.coalesce(F.col("_dom_blocked"), F.lit(False))
+        )
     else:
-        dom_blocked = F.lit(False)
-        for d in blocked_domains or []:
-            dom_blocked = dom_blocked | _dom_hits(F.lit(d.lower()))
+        domains = sorted({d.lower() for d in (blocked_domains or [])})
+        if domains:
+            # exact part as one InSet probe; suffix part per-domain OR
+            dom_blocked = F.col("host").isin(domains)
+            for d in domains:
+                dom_blocked = dom_blocked | F.col("host").endswith("." + d)
+        else:
+            dom_blocked = F.lit(False)
         out = out.withColumn("_dom_blocked", dom_blocked)
 
     pat_blocked = F.lit(False)

@@ -186,6 +186,15 @@ def apportion_budget(
     ``host_authority`` feeds this; the output feeds the politeness
     machinery (operators/frontier.py host_budgets consumers).
 
+    Degenerate inputs: if every rank is 0 (S == 0, e.g. an empty or
+    dangling-only graph) the division would NULL every budget, so the
+    apportionment falls back to EQUAL shares (rank treated as 1 per
+    host, ties by host ascending) — Σ budget == B still holds. int64
+    bound: ``B * rank_fp`` must stay below 2^63; the plan asserts
+    ``max(rank) <= (2^63-1) DIV B`` and raises rather than silently
+    wrapping (rank_fp is ≤ 10^8-scale fixed point, so any realistic
+    budget is fine; the guard catches pathological inputs).
+
     Scale shape: the remainder rank is the frontier's two-phase pattern
     (range-repartition on (rem desc, host), partition-local row_number,
     broadcast offset table) — no single-task sort of the whole host
@@ -200,11 +209,38 @@ def apportion_budget(
         F.col(host_col).alias("host"),
         F.col(rank_col).cast("long").alias("_r"),
     )
-    tot = h.agg(F.sum("_r").alias("_S"))
+    tot = h.agg(
+        F.sum("_r").alias("_S"),
+        F.count("*").alias("_N"),
+        F.max("_r").alias("_M"),
+    )
+    # S == 0 → equal apportionment (rank 1 per host, S = host count);
+    # overflow guard: B * rank must fit int64, raise instead of wrapping
+    bound = (2**63 - 1) // max(B, 1)
     j = (
         h.crossJoin(F.broadcast(tot))
-        .withColumn("_base", F.expr(f"({B} * _r) DIV _S"))
-        .withColumn("_rem", F.expr(f"({B} * _r) % _S"))
+        .withColumn(
+            "_r_eff",
+            F.when(F.col("_S") == 0, F.lit(1).cast("long")).otherwise(
+                F.col("_r")
+            ),
+        )
+        .withColumn(
+            "_S_eff",
+            F.when(
+                F.coalesce(F.col("_M"), F.lit(0)) > F.lit(bound),
+                F.raise_error(
+                    F.lit(
+                        f"apportion_budget: B*rank_fp overflows int64 "
+                        f"(B={B}, max rank_fp exceeds {bound})"
+                    )
+                ).cast("long"),
+            )
+            .when(F.col("_S") == 0, F.col("_N").cast("long"))
+            .otherwise(F.col("_S")),
+        )
+        .withColumn("_base", F.expr(f"({B} * _r_eff) DIV _S_eff"))
+        .withColumn("_rem", F.expr(f"({B} * _r_eff) % _S_eff"))
     )
     spark = ranked.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))

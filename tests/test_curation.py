@@ -70,6 +70,41 @@ def test_url_filter_list_and_dataframe_blocklists_agree(spark):
     assert not rows[2]["has_tracking"]
 
 
+def test_url_filter_overlapping_blocklist_no_row_multiplication(spark):
+    """A blocklist holding a domain AND its subdomain (UT1 routinely
+    does) matches one host via two rows — output cardinality must still
+    equal input cardinality on both blocklist paths."""
+    u = spark.createDataFrame(
+        [
+            (1, "https://x.sub.bad.org/deep"),  # matches bad.org AND sub.bad.org
+            (2, "https://good.net/ok"),
+        ],
+        ["doc_id", "url"],
+    )
+    doms = ["bad.org", "sub.bad.org"]
+    via_list = url_filter(u, blocked_domains=doms)
+    bl = spark.createDataFrame([(d,) for d in doms], ["domain"])
+    via_df = url_filter(u, blocked_domains=bl)
+    assert via_list.count() == 2 and via_df.count() == 2
+    cols = ["doc_id", "host", "blocked", "block_reason"]
+    assert (
+        via_list.select(*cols).orderBy("doc_id").collect()
+        == via_df.select(*cols).orderBy("doc_id").collect()
+    )
+    rows = {r["doc_id"]: r["blocked"] for r in via_df.collect()}
+    assert rows[1] and not rows[2]
+
+
+def test_pii_scan_null_text_counts_zero(spark):
+    u = spark.createDataFrame(
+        [(1, None), (2, "mail a@b.co")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in pii_scan(u).collect()}
+    assert out[1]["n_email"] == out[1]["n_ipv4"] == out[1]["n_phone"] == 0
+    assert out[1]["n_pii"] == 0 and out[1]["redacted"] == ""
+    assert out[2]["n_email"] == 1 and out[2]["redacted"] == "mail <EMAIL>"
+
+
 def test_url_filter_host_pattern_and_reason_priority(spark):
     u = spark.createDataFrame(
         [(1, "https://tracker-7.net/z"), (2, "https://tracker-7.bad.org/z")],

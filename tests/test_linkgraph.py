@@ -146,6 +146,35 @@ def test_apportion_budget_exact_sum_large(spark):
     assert out.count() == 997
 
 
+def test_apportion_budget_all_zero_ranks_falls_back_to_equal(spark):
+    """Degenerate graph (every rank 0): no NULL budgets — equal shares,
+    leftover units to hosts ascending, Σ budget == B exactly."""
+    from reffy_spark.operators.linkgraph import apportion_budget
+
+    ranked = spark.createDataFrame(
+        [("c", 0), ("a", 0), ("b", 0)], ["host", "rank_fp"]
+    )
+    out = {r["host"]: r["budget"] for r in apportion_budget(ranked, 7).collect()}
+    assert None not in out.values()
+    assert out == {"a": 3, "b": 2, "c": 2}
+    assert sum(out.values()) == 7
+
+
+def test_apportion_budget_overflow_guard_raises(spark):
+    """B * rank_fp beyond int64 must raise, not silently wrap."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from reffy_spark.operators.linkgraph import apportion_budget
+
+    ranked = spark.createDataFrame(
+        [("a", 2**62), ("b", 1)], ["host", "rank_fp"]
+    )
+    with pytest.raises(Exception) as ei:
+        apportion_budget(ranked, 1_000_000).collect()
+    assert "overflows int64" in str(ei.value)
+
+
 def test_pagerank_priority_drives_politeness_selection(spark):
     """End-to-end authority → scheduling: pagerank feeds the frontier's
     priority column; the politeness budget then selects the
