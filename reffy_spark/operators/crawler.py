@@ -73,9 +73,9 @@ def freshest_capture(pages_canon: DataFrame) -> DataFrame:
     order_cols = [
         c for c in ("warc_ts", "page_url") if c in pages_canon.columns
     ]
-    keep = ["page_url", "html"] + (
-        ["warc_ts"] if "warc_ts" in pages_canon.columns else []
-    )
+    keep = ["page_url", "html"] + [
+        c for c in ("warc_ts", "final_url") if c in pages_canon.columns
+    ]
     return (
         pages_canon.groupBy("url_canon")
         .agg(F.max_by(F.struct(*keep), F.struct(*order_cols)).alias("_best"))
@@ -99,9 +99,9 @@ def fetch_with_fallback(
     relation for a join that usually matches nothing.
     """
     batch_b = F.broadcast(batch_slim) if broadcast_batch else batch_slim
-    fetch_cols = ["url_canon", "html"] + (
-        ["warc_ts"] if "warc_ts" in pages.columns else []
-    )
+    fetch_cols = ["url_canon", "html"] + [
+        c for c in ("warc_ts", "final_url") if c in pages.columns
+    ]
     fetched_ok = pages.select(*fetch_cols).join(
         batch_b, on="url_canon", how="inner"
     )
@@ -184,9 +184,9 @@ class CrawlEngine:
             pc = pages.withColumnRenamed("url", "page_url")
         else:
             pc = with_url_canon(pages).withColumnRenamed("url", "page_url")
-        page_cols = ["url_canon", "page_url", "html"] + (
-            ["warc_ts"] if "warc_ts" in pc.columns else []
-        )
+        page_cols = ["url_canon", "page_url", "html"] + [
+            c for c in ("warc_ts", "final_url") if c in pc.columns
+        ]
         if assume_canonical_unique:
             self.pages = pc.select(*page_cols)
         else:
@@ -460,8 +460,31 @@ class CrawlEngine:
             # passthrough; warc_ts doubles as the date module's
             # HTTP-Last-Modified fallback (F11).
             has_ts = "warc_ts" in fetched_ok.columns
+            # Redirect semantics (specs-crawler.js:140-152, test/crawl.js
+            # "does not return cache info when a redirection took place"):
+            # a pages table may carry an optional ``final_url`` column —
+            # the URL the fetch actually landed on. When it differs from
+            # the request URL, the reference records the post-redirect URL
+            # as ``crawled`` and returns NO crawlCacheInfo (the cache info
+            # belongs to the initial URL and cannot be trusted), while the
+            # page content is still extracted. Our analog: etag and
+            # last_modified are NULLed for redirected rows, which also
+            # disables the fallback etag-reuse short-circuit (a redirected
+            # page is always re-extracted). ``final_url`` rides the Arrow
+            # stage as a string passthrough — a measured ~cost paid only
+            # by crawls that opt into the column.
+            has_redirects = "final_url" in fetched_ok.columns
+            redirected = (
+                F.col("final_url").isNotNull()
+                & (F.col("final_url") != F.col("url_canon"))
+                if has_redirects
+                else F.lit(False)
+            )
             fetched_ok = fetched_ok.withColumn(
-                "etag", F.md5(F.col("html").cast("binary"))
+                "etag",
+                F.when(redirected, F.lit(None).cast("string")).otherwise(
+                    F.md5(F.col("html").cast("binary"))
+                ),
             )
             # conditional-recrawl split: pages whose digest matches the
             # fallback crawl's etag bypass extraction entirely (reuse),
@@ -487,9 +510,15 @@ class CrawlEngine:
                     f"_fb_{m}" for m in fb_mods
                 ]
                 joined = fetched_ok.join(fb_slim, on="url_canon", how="left")
-                unchanged = joined.filter(F.col("_fb_etag") == F.col("etag"))
+                # etag NULL means "no trustworthy cache info" (redirected
+                # row) — always counts as changed, never as reuse
+                unchanged = joined.filter(
+                    F.col("etag").isNotNull()
+                    & (F.col("_fb_etag") == F.col("etag"))
+                )
                 fetched_ok = joined.filter(
-                    F.col("_fb_etag").isNull()
+                    F.col("etag").isNull()
+                    | F.col("_fb_etag").isNull()
                     | (F.col("_fb_etag") != F.col("etag"))
                 ).drop(*fb_drop)
                 reused = (
@@ -513,7 +542,11 @@ class CrawlEngine:
                     .withColumn("status", F.lit("ok"))
                     .withColumn("from_fallback", F.lit(True))
                 )
-            cache_cols = ["etag"] + (["warc_ts"] if has_ts else [])
+            cache_cols = (
+                ["etag"]
+                + (["warc_ts"] if has_ts else [])
+                + (["final_url"] if has_redirects else [])
+            )
             extracts = (
                 extract_all(
                     fetched_ok,
@@ -537,6 +570,32 @@ class CrawlEngine:
             else:
                 extracts = extracts.withColumn(
                     "last_modified", F.lit(None).cast("timestamp")
+                )
+            if has_redirects:
+                # `crawled` = post-redirect URL (specs-crawler.js:141-143);
+                # cache info dropped on redirect: etag was already NULLed
+                # pre-extraction, last_modified is NULLed here
+                extracts = (
+                    extracts.withColumn(
+                        "crawled",
+                        F.coalesce(F.col("final_url"), F.col("url_canon")),
+                    )
+                    .withColumn(
+                        "last_modified",
+                        F.when(
+                            redirected, F.lit(None).cast("timestamp")
+                        ).otherwise(F.col("last_modified")),
+                    )
+                    .drop("final_url")
+                )
+                if reused is not None:
+                    # reuse requires a non-NULL matching etag → never a
+                    # redirected row; crawled is the request URL
+                    reused = reused.withColumn(
+                        "crawled", F.col("url_canon")
+                    )
+                notfound = notfound.withColumn(
+                    "crawled", F.col("url_canon")
                 )
             extracts = extracts.withColumn("from_fallback", F.lit(False))
             if reused is not None:

@@ -133,20 +133,27 @@ def annotate_links(links: DataFrame, specs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def consolidate_events(events: DataFrame, order_col: str | None = None) -> DataFrame:
+def consolidate_events(events: DataFrame, order_col: str) -> DataFrame:
     """Merge duplicate events with same truthy (href, cancelable), union
     targets (events.js:235-253: ``e.href && e.href === event.href`` — events
     without an href are never merged), then the deterministic W5 sort
-    (type, interface nulls-first, href nulls-first).
+    (type, interface nulls-first, href nulls-first) under ICU ``en``
+    collation — the reference sorts with ``localeCompare('en-US')``
+    (events.js:82-88), which differs from binary order on mixed-case or
+    non-ASCII event names ('DOMContentLoaded' sorts between 'abort' and
+    'zebra', not before them).
 
     The reference keeps the *first* event in document order as the merge
-    survivor; ``order_col`` names that ordering key. When absent, a
-    per-partition monotonic id approximates it (single-source extracts are
-    already in document order per partition).
+    survivor; ``order_col`` names that ordering key and is REQUIRED — a
+    ``monotonically_increasing_id`` fallback would make the winner depend
+    on partition layout (nondeterministic under repartition).
     """
-    if order_col is None:
-        events = events.withColumn("_doc_ord", F.monotonically_increasing_id())
-        order_col = "_doc_ord"
+    if not order_col:
+        raise ValueError(
+            "consolidate_events requires an explicit order_col: the "
+            "'first in document order wins' tiebreak must be a data "
+            "column, not partition layout"
+        )
     ord_c = F.col(order_col)
     mergeable = F.col("href").isNotNull() & (F.col("href") != "")
     targets_arr = F.coalesce("targets", F.array().cast("array<string>"))
@@ -170,10 +177,11 @@ def consolidate_events(events: DataFrame, order_col: str | None = None) -> DataF
         "href", "cancelable", "type", "interface", "bubbles",
         F.sort_array(F.array_distinct(targets_arr)).alias("targets"),
     )
+    # W5 sort: ICU 'en' collation == the reference's localeCompare('en-US')
     return merged.unionByName(passthrough).orderBy(
-        F.col("type").asc(),
-        F.col("interface").asc_nulls_first(),
-        F.col("href").asc_nulls_first(),
+        F.collate(F.col("type"), "en").asc(),
+        F.collate(F.col("interface"), "en").asc_nulls_first(),
+        F.collate(F.col("href"), "en").asc_nulls_first(),
     )
 
 

@@ -292,3 +292,84 @@ def test_fallback_reuse_skips_unchanged_pages(spark):
     gone = rows["https://fb.test/s5/"]
     assert gone["status"] == "notfound" and gone["from_fallback"]
     assert f"S5 v1" in gone["title"]  # fallback data returned with the error
+
+
+def test_redirect_drops_cache_info_and_records_final_url(spark):
+    # test/crawl.js:128-135 "does not return cache info when a
+    # redirection took place" + specs-crawler.js:140-152: the result's
+    # `crawled` is the post-redirect URL, cache info is dropped (it
+    # belongs to the initial URL), and the page content IS extracted.
+    def page(i, final=None, title=None):
+        return (
+            f"https://rd.test/s{i}/",
+            f"<html><head><title>{title or f'S{i}'}</title></head>"
+            f"<body><h1>x</h1></body></html>".encode(),
+            final,
+        )
+
+    robots = spark.createDataFrame(
+        [("rd.test", "/", True, 10)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    pages = spark.createDataFrame(
+        [
+            page(0),  # plain page: final_url NULL
+            page(1, final="https://moved.test/new-home/",
+                 title="Recently updated"),  # redirected
+            page(2, final="https://rd.test/s2/"),  # final == request: no redirect
+        ],
+        "url string, html binary, final_url string",
+    )
+    res = CrawlEngine(
+        spark, pages, robots, modules=["title"], use_bloom=False,
+        collect_metrics=False, discover=False,
+    ).crawl(pages.select("url"), max_rounds=1)
+    rows = {r["url_canon"]: r for r in res.results.collect()}
+
+    plain = rows["https://rd.test/s0/"]
+    assert plain["crawled"] == "https://rd.test/s0/"
+    assert plain["etag"] is not None and plain["status"] == "ok"
+
+    moved = rows["https://rd.test/s1/"]
+    assert moved["crawled"] == "https://moved.test/new-home/"
+    assert moved["status"] == "ok"
+    assert "Recently updated" in moved["title"]  # content still extracted
+    assert moved["etag"] is None and moved["last_modified"] is None
+
+    same = rows["https://rd.test/s2/"]  # explicit final equal to request
+    assert same["crawled"] == "https://rd.test/s2/"
+    assert same["etag"] is not None
+
+
+def test_redirect_disables_fallback_reuse(spark):
+    # A redirected page must be re-extracted even when its content digest
+    # matches the fallback crawl's etag — the cache info is untrusted.
+    def mk_pages(final):
+        return spark.createDataFrame(
+            [("https://rd.test/s0/",
+              b"<html><head><title>Same bytes</title></head></html>",
+              final)],
+            "url string, html binary, final_url string",
+        )
+
+    robots = spark.createDataFrame(
+        [("rd.test", "/", True, 10)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    first = CrawlEngine(
+        spark, mk_pages(None), robots, modules=["title"], use_bloom=False,
+        collect_metrics=False, discover=False,
+    ).crawl(mk_pages(None).select("url"), max_rounds=1)
+    fallback = first.results.withColumn("title", F.lit('"SENTINEL"'))
+
+    second = CrawlEngine(
+        spark, mk_pages("https://moved.test/"), robots, modules=["title"],
+        use_bloom=False, collect_metrics=False, discover=False,
+        fallback=fallback,
+    ).crawl(mk_pages(None).select("url"), max_rounds=1)
+    row = second.results.collect()[0]
+    # same bytes, but redirected → no reuse: fresh extraction, no sentinel
+    assert not row["from_fallback"]
+    assert "Same bytes" in row["title"]
+    assert row["crawled"] == "https://moved.test/"
+    assert row["etag"] is None

@@ -66,18 +66,56 @@ def test_annotate_links(spark):
 def test_consolidate_events_merge_and_sort(spark):
     events = spark.createDataFrame(
         [
-            ("click", "E1", True, False, ["A"], "https://s/#e1"),
-            ("click", None, None, False, ["B"], "https://s/#e1"),
-            ("abort", "E0", None, True, None, "https://s/#e0"),
+            (1, "click", "E1", True, False, ["A"], "https://s/#e1"),
+            (2, "click", None, None, False, ["B"], "https://s/#e1"),
+            (3, "abort", "E0", None, True, None, "https://s/#e0"),
         ],
-        "type string, interface string, bubbles boolean, cancelable boolean, "
-        "targets array<string>, href string",
+        "ord int, type string, interface string, bubbles boolean, "
+        "cancelable boolean, targets array<string>, href string",
     )
-    rows = PP.consolidate_events(events).collect()
+    rows = PP.consolidate_events(events, order_col="ord").collect()
     assert [r["type"] for r in rows] == ["abort", "click"]
     click = rows[1]
     assert click["targets"] == ["A", "B"]
     assert click["interface"] == "E1" and click["bubbles"] is True
+
+
+def test_consolidate_events_requires_order_col(spark):
+    import pytest
+
+    events = spark.createDataFrame(
+        [("click", "E1", True, False, ["A"], "https://s/#e1")],
+        "type string, interface string, bubbles boolean, cancelable boolean, "
+        "targets array<string>, href string",
+    )
+    with pytest.raises(TypeError):
+        PP.consolidate_events(events)  # order_col is required
+    with pytest.raises(ValueError, match="order_col"):
+        PP.consolidate_events(events, order_col=None)
+
+
+def test_consolidate_events_icu_en_sort_mixed_case(spark):
+    """W5 golden: the reference sorts with localeCompare('en-US')
+    (/root/reference/src/postprocessing/events.js:82-88). Binary string
+    order puts ALL uppercase before lowercase ('DOMContentLoaded',
+    'Zoom' ahead of 'abort'); ICU 'en' interleaves case like the
+    reference. Expected order verified against Node:
+    ['DOMContentLoaded','Zoom','abort','beforeprint','zebra']
+      .sort((a,b) => a.localeCompare(b, 'en-US'))
+    === ['abort','beforeprint','DOMContentLoaded','zebra','Zoom']."""
+    names = ["DOMContentLoaded", "Zoom", "abort", "beforeprint", "zebra"]
+    events = spark.createDataFrame(
+        [
+            (i, t, "I", True, False, ["T"], f"https://s/#{i}")
+            for i, t in enumerate(names)
+        ],
+        "ord int, type string, interface string, bubbles boolean, "
+        "cancelable boolean, targets array<string>, href string",
+    )
+    rows = PP.consolidate_events(events, order_col="ord").collect()
+    assert [r["type"] for r in rows] == [
+        "abort", "beforeprint", "DOMContentLoaded", "zebra", "Zoom",
+    ]
 
 
 def test_merge_crawls_anti_union(spark):
