@@ -309,16 +309,88 @@ def _norm_py(vec) -> float:
     return math.sqrt(s)
 
 
+def ivf_kmeans(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Train the IVF coarse quantizer with Lloyd's k-means, expressed as
+    DataFrame ops — closes the "degenerate first-n quantizer" gap of
+    ``ivf_centroids`` while keeping its deterministic seeding (the first
+    n vectors by id ARE the init, so training is reproducible without
+    RNG).
+
+    Per iteration:
+    * assign — the existing zero-shuffle argmax over centroid literals
+      (``ivf_assignments``: array_max over (cos, -cid) structs, no
+      Exchange, no Window);
+    * update — posexplode the assigned vectors to (cid, dim, val) and
+      take one partial-aggregated avg keyed by (cid, dim): the shuffle
+      carries at most n_centroids × dim running sums per map task, and
+      only n_centroids × dim rows (driver-sized quantizer metadata,
+      like every centroid list here) are collected.
+
+    Empty cells keep their previous centroid. Float means are per-cell
+    (one avg per (cid, dim) — no cross-row float accumulation order
+    issue *across engines* arises because training happens on ONE
+    engine; the oracle strategy for queries built on trained centroids
+    is to pass the trained centroids in as literals, as
+    ``ann_topk_ivf(centroids=...)`` does).
+
+    Scale: iterations are O(n_iters) scans of the embeddings table; at
+    100 TB one trains on a bounded sample (``emb.sample(...)`` or a
+    per-bucket stratified sample) — the operator is agnostic, it trains
+    on whatever frame it is handed.
+    """
+    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    for _ in range(max(0, n_iters)):
+        asg = ivf_assignments(emb, cents, id_col, vec_col)
+        means = (
+            asg.select(
+                "centroid_id", F.posexplode("embedding").alias("dim", "val")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("mean"))
+            .collect()  # n_centroids × dim rows — quantizer metadata
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = float(
+                r["mean"]
+            )
+        new_cents = []
+        for cid, cvec in cents:
+            dims = by_cid.get(cid)
+            if dims:
+                new_cents.append(
+                    (cid, [dims[i] for i in range(len(cvec))])
+                )
+            else:  # empty cell: keep the previous centroid
+                new_cents.append((cid, cvec))
+        if new_cents == cents:
+            break  # converged
+        cents = new_cents
+    return cents
+
+
 def ivf_cells(
     emb: DataFrame,
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
     """Inverted-list sizes (centroid_id, n_vectors) — the partition-skew
     diagnostic for an IVF index, and full coverage of the assignment
-    math (every vector, not just probed cells)."""
-    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    math (every vector, not just probed cells). Pass ``centroids`` (e.g.
+    from ``ivf_kmeans``) to override the default first-n quantizer."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_centroids, id_col, vec_col)
+    )
     return (
         ivf_assignments(emb, cents, id_col, vec_col)
         .groupBy("centroid_id")
@@ -334,6 +406,7 @@ def ann_topk_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
     """IVF-flat ANN: scan only the ``nprobe`` inverted lists whose
     centroids are nearest the query.
@@ -343,8 +416,14 @@ def ann_topk_ivf(
     partitions (static partition pruning on the IN list — no index
     structure beyond the layout). This complements ``ann_topk_lsh``:
     LSH buckets are query-independent bit signatures; IVF cells adapt
-    to the data distribution via the (trained) quantizer."""
-    cents = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    to the data distribution via the quantizer — pass ``centroids``
+    from ``ivf_kmeans`` for a trained one (the default first-n
+    quantizer is the deterministic oracle-replayable baseline)."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_centroids, id_col, vec_col)
+    )
     ranked = sorted(
         ((cid, _cos_py(query_vec, cvec)) for cid, cvec in cents),
         key=lambda t: (-t[1], t[0]),
