@@ -15,6 +15,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# previous skew-safe asof cache, unpersisted on the next call (one live
+# slim cache per pipeline instead of one per invocation) — same
+# lifecycle as frontier._prev_rank_cache / linkgraph._pr_caches
+_prev_asof_cache: DataFrame | None = None
+
+
+def _asof_union(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_cols: tuple[str, ...],
+) -> tuple[DataFrame, list[str]]:
+    """Shared tagged-union builder for the two as-of variants: right rows
+    deduped to one per (by, ts) (greatest struct wins), carried as a
+    non-null ``_r`` struct with ``_tag`` 0 (sorting before left rows at
+    equal ts); left rows carry ``_r`` NULL with ``_tag`` 1."""
+    rstruct = F.struct(
+        F.col(ts).alias("_ts"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    r = (
+        right.groupBy(by, ts)
+        .agg(F.max(rstruct).alias("_r"))
+        .select(by, ts, "_r", F.lit(0).alias("_tag"))
+    )
+    lcols = left.columns
+    l = left.select(
+        *lcols, F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+        F.lit(1).alias("_tag"),
+    )
+    # align schemas: right side carries nulls for the left payload
+    for c in lcols:
+        if c not in (by, ts):
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    return l.unionByName(r.select(*lcols, "_r", "_tag")), lcols
 
 
 def asof_join(
@@ -45,24 +82,7 @@ def asof_join(
     streamingly per key — no per-key buffering of the whole group. Hot
     ``by`` keys are the skew caveat, as for any keyed temporal join.
     """
-    rstruct = F.struct(
-        F.col(ts).alias("_ts"), *[F.col(c).alias(c) for c in value_cols]
-    )
-    r = (
-        right.groupBy(by, ts)
-        .agg(F.max(rstruct).alias("_r"))
-        .select(by, ts, "_r", F.lit(0).alias("_tag"))
-    )
-    lcols = left.columns
-    l = left.select(
-        *lcols, F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
-        F.lit(1).alias("_tag"),
-    )
-    # align schemas: right side carries nulls for the left payload
-    for c in lcols:
-        if c not in (by, ts):
-            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
-    u = l.unionByName(r.select(*lcols, "_r", "_tag"))
+    u, lcols = _asof_union(left, right, by, ts, value_cols)
     w = (
         Window.partitionBy(by)
         .orderBy(ts, "_tag")
@@ -70,6 +90,103 @@ def asof_join(
     )
     out = u.withColumn("_last", F.last("_r", ignorenulls=True).over(w)).filter(
         F.col("_tag") == 1
+    )
+    proj = [*lcols, F.col("_last._ts").alias(f"{prefix}ts")]
+    proj += [F.col(f"_last.{c}").alias(f"{prefix}{c}") for c in value_cols]
+    return out.select(*proj)
+
+
+def asof_join_skewsafe(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    prefix: str = "asof_",
+    num_parts: int | None = None,
+) -> DataFrame:
+    """``asof_join`` without the hot-key hazard: bit-identical output,
+    but no task ever sorts a whole ``by`` group.
+
+    ``asof_join``'s single window ``partitionBy(by)`` puts EVERY row of
+    a hot key (one user = 50% of events, one host = 50% of a crawl log)
+    into one task. This variant is the frontier's two-phase pattern
+    (``frontier._exact_group_rank``) applied to a running ``last``:
+
+    1. range-repartition the tagged union on (by, ts, _tag) — a hot key
+       spreads over many contiguous partitions, every partition sorts
+       only its own slice;
+    2. partition-local running last(_r, ignorenulls) per (_pid, by);
+    3. boundary carry: per (partition, key), the slice's LAST right row
+       is one ``max_by`` aggregate (right rows are unique per (by, ts),
+       so the max over (ts, _tag) IS the last in order); a running last
+       over the (pid, key) pairs table gives each slice the newest
+       right row from all earlier slices, then only pairs that inherit
+       a non-null carry survive — under range partitioning that is the
+       first key of each partition, ≤ num_parts rows, broadcast;
+    4. final as-of value = coalesce(local running last, carried last).
+
+    The only unpartitioned-ish window runs over the carries table,
+    bounded by num_parts × keys-spanning-partition-boundaries — config-
+    sized, not data-sized (same argument as the rank offset table).
+    Ties and duplicates behave exactly like ``asof_join``: the range
+    partitioner respects the (by, ts, _tag) order, so an equal-ts right
+    row always lands in the same or an earlier partition than the left
+    row it must serve.
+    """
+    spark = left.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    u, lcols = _asof_union(left, right, by, ts, value_cols)
+    ranged = u.repartitionByRange(num_parts, F.col(by), F.col(ts), F.col("_tag"))
+    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    global _prev_asof_cache
+    if _prev_asof_cache is not None:
+        try:
+            _prev_asof_cache.unpersist(blocking=False)
+        except Exception:
+            pass
+    _prev_asof_cache = part
+
+    # slice-local running last (hot key split across many tasks)
+    w_local = (
+        Window.partitionBy("_pid", by)
+        .orderBy(ts, "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_last_loc", F.last("_r", ignorenulls=True).over(w_local))
+
+    # per-slice carry: the last right row of each (partition, key)
+    carries = (
+        part.filter(F.col("_r").isNotNull())
+        .groupBy("_pid", by)
+        .agg(F.max_by("_r", F.struct(ts, "_tag")).alias("_carry"))
+    )
+    # running carry from EARLIER partitions, over every (pid, key) pair
+    # present in the data (pairs without their own right rows inherit)
+    pairs = part.select("_pid", by).distinct()
+    w_carry = (
+        Window.partitionBy(by)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = (
+        pairs.join(carries, on=["_pid", by], how="left")
+        .withColumn("_prev", F.last("_carry", ignorenulls=True).over(w_carry))
+        # only pairs that actually inherit a carry matter; under range
+        # partitioning a non-null _prev means the key STARTED in an
+        # earlier partition, i.e. it is the first key of this pid — so
+        # ≤ 1 row per partition survives: broadcast is config-sized
+        .filter(F.col("_prev").isNotNull())
+        .select("_pid", by, "_prev")
+    )
+
+    out = (
+        local.join(F.broadcast(prev), on=["_pid", by], how="left")
+        .withColumn("_last", F.coalesce(F.col("_last_loc"), F.col("_prev")))
+        .filter(F.col("_tag") == 1)
     )
     proj = [*lcols, F.col("_last._ts").alias(f"{prefix}ts")]
     proj += [F.col(f"_last.{c}").alias(f"{prefix}{c}") for c in value_cols]

@@ -1251,7 +1251,8 @@ _SAMPLE_FIRST = [
     # never driver-sampled)
     "pagerank", "host_authority", "budget_apportion",
     "duplicate_spans", "line_dedup", "pack_sequences",
-    "asof_prior_signup", "sessionize_events", "session_stats",
+    "asof_prior_signup", "asof_skewsafe", "sessionize_events",
+    "session_stats",
     "pii_scan", "url_filter", "classifier_score",
     "fallback_reuse", "schema_violations", "idlparsed_ast",
     "neardup_components", "dedup_canonical", "repetition_profile",

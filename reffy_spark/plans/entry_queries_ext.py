@@ -3045,6 +3045,23 @@ ORACLE_ASOF_PRIOR_SIGNUP = """
 """
 
 
+def q_asof_skewsafe(spark, sf_dir):
+    """Same as-of semantics through the two-phase skew-safe plan
+    (range repartition + slice-local running last + broadcast boundary
+    carry) — bit-identical to ``asof_prior_signup``, so it shares that
+    oracle. Proves the hot-key-safe path against DuckDB's native ASOF."""
+    from reffy_spark.operators.temporal import asof_join_skewsafe
+
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join_skewsafe(left, right)
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min gap) of the event stream."""
     from reffy_spark.operators.temporal import sessionize
@@ -3105,6 +3122,8 @@ ORACLE_SESSION_STATS = """
 
 EXT_QUERIES["asof_prior_signup"] = q_asof_prior_signup
 EXT_ORACLES["asof_prior_signup"] = ORACLE_ASOF_PRIOR_SIGNUP
+EXT_QUERIES["asof_skewsafe"] = q_asof_skewsafe
+EXT_ORACLES["asof_skewsafe"] = ORACLE_ASOF_PRIOR_SIGNUP
 EXT_QUERIES["sessionize_events"] = q_sessionize_events
 EXT_ORACLES["sessionize_events"] = ORACLE_SESSIONIZE_EVENTS
 EXT_QUERIES["session_stats"] = q_session_stats

@@ -60,6 +60,65 @@ def test_asof_join_null_right_value_still_wins(spark):
     assert row["asof_value"] is None
 
 
+def _skewed_asof_world(spark):
+    """One key = 50% of the left rows (the VERDICT #6 scenario), plus a
+    NULL-valued right row, duplicate equal-ts right rows, cold keys with
+    and without right rows, and left rows predating every right row."""
+    left_rows, right_rows, eid = [], [], 0
+    for i in range(300):  # hot key 1: half of all left rows
+        eid += 1
+        left_rows.append((eid, 1, 10 * i + 5))
+    for i in range(0, 300, 3):
+        right_rows.append((1, 10 * i, float(i) if i % 30 else None))
+    right_rows.append((1, 0, 99.0))  # equal-ts duplicate → dedupe path
+    for k in range(2, 102):  # 100 cold keys, 3 left rows each
+        for i in range(3):
+            eid += 1
+            left_rows.append((eid, k, 100 * i + k))
+        if k % 2 == 0:  # half the cold keys have right rows at all
+            right_rows.append((k, 50 + k, float(k)))
+    left = spark.createDataFrame(
+        left_rows, "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(right_rows, "user_id long, ts long, value double")
+    return left, right
+
+
+def test_asof_skewsafe_matches_direct_on_skewed_corpus(spark):
+    """Bit-identical to the single-window asof_join when one key holds
+    50% of the rows and spans many range partitions (num_parts=8)."""
+    from reffy_spark.operators.temporal import asof_join, asof_join_skewsafe
+
+    left, right = _skewed_asof_world(spark)
+    want = sorted(
+        tuple(r) for r in asof_join(left, right).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in asof_join_skewsafe(left, right, num_parts=8).collect()
+    )
+    assert got == want
+    assert len(got) == 600
+
+
+def test_asof_skewsafe_plan_bounded_sorts(spark):
+    """No task may sort a whole ``by`` group: the data-sized exchange is
+    a range partitioning and the only window led by the key alone is the
+    carry window over the (pid, key) pairs table (ordered by _pid) — a
+    spec ordered by ts would be the old whole-group sort."""
+    import re
+
+    from reffy_spark.operators.temporal import asof_join_skewsafe
+
+    left, right = _skewed_asof_world(spark)
+    out = asof_join_skewsafe(left, right, num_parts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+    assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#", plan)
+    # the boundary-carry side reaches the local slices by broadcast
+    assert "BroadcastExchange" in plan
+
+
 def test_sessionize_gap_boundary(spark):
     """Gap strictly greater than 30 min starts a session; exactly 30 min
     does not."""
