@@ -92,11 +92,20 @@ def fetch_with_fallback(
     dropping the spec, specs-crawler.js:54-65).
 
     Returns (fetched_ok, notfound): callers run extraction over
-    ``fetched_ok`` and union ``notfound`` after. The batch side is
-    budget-bounded → broadcast (pages never shuffles); the anti-join uses
-    a shuffle_hash hint because the pages-keys side can be millions of
-    rows in replay mode — broadcasting it would rebuild a huge hash
-    relation for a join that usually matches nothing.
+    ``fetched_ok`` and union ``notfound`` after.
+
+    Misses, fused into the fetch join's pass (no second pages-sized
+    shuffle): when the batch is broadcast, the matched key set is
+    ``pages ⨝ batch`` keys — AT MOST ``|batch|`` rows, so it is
+    broadcastable by the exact argument that made the batch
+    broadcastable — and the misses are ``batch ⟕̸ broadcast(matched)``.
+    The matched-keys probe broadcasts a keys-only pruning of the batch
+    (a strictly cheaper build than the fetch join's own broadcast) and
+    reads ONE pruned column of pages; the 10^10-row pages key set is
+    never shuffled. The pre-round-5 shape
+    (keys-only shuffle_hash anti-join against all of pages) is kept for
+    the beyond-broadcast bucketed path, where the bucketed layout makes
+    the pages-side exchange free anyway.
     """
     batch_b = F.broadcast(batch_slim) if broadcast_batch else batch_slim
     fetch_cols = ["url_canon", "html"] + [
@@ -105,13 +114,21 @@ def fetch_with_fallback(
     fetched_ok = pages.select(*fetch_cols).join(
         batch_b, on="url_canon", how="inner"
     )
-    notfound = (
-        batch_slim.join(
+    if broadcast_batch:
+        matched = pages.select("url_canon").join(
+            batch_b.select("url_canon"), on="url_canon", how="inner"
+        )
+        miss = batch_slim.join(
+            F.broadcast(matched), on="url_canon", how="left_anti"
+        )
+    else:
+        miss = batch_slim.join(
             pages.select("url_canon").hint("shuffle_hash"),
             on="url_canon",
             how="left_anti",
         )
-        .withColumn("host", host_col(F.col("url_canon")))
+    notfound = (
+        miss.withColumn("host", host_col(F.col("url_canon")))
         .withColumn("host_group", host_group_col(F.col("url_canon")))
         .withColumn("status", F.lit("notfound"))
     )
@@ -211,6 +228,9 @@ class CrawlEngine:
         # persisted within-round working sets awaiting release (ephemeral
         # multi-executor mode; see _materialize durable=False)
         self._working_sets: list[DataFrame] = []
+        # background executor for async ephemeral round-state commits
+        # (created lazily; 2 workers = frontier + seen commit in parallel)
+        self._commit_pool = None
         # Conditional-recrawl reuse (specs-crawler.js:87-98,128-133 +
         # test/crawl.js "skips processing and reuse fallback data when
         # spec cache info indicates it has not changed"): a prior crawl's
@@ -375,24 +395,26 @@ class CrawlEngine:
         # sizing never fires a per-round count() job: one count at loop
         # start, then += the new_urls count already computed for metrics
         seen_count: int | None = None
-        # round-state plans whose commit was deferred to the next round
-        # (ephemeral modes only — see the commit block at the loop bottom)
-        deferred: list[tuple[str, str, int]] = []
+        # in-flight async round-state commits, resolved at the top of the
+        # next round (ephemeral modes only — see the loop-bottom block)
+        deferred: list[tuple[str, object]] = []
 
         for rnd in range(start_round, max_rounds + 1):
             t0 = time.monotonic()
-            # commit the PREVIOUS round's state now that we know the loop
-            # continues: the final round's frontier/seen have no consumer
-            # in ephemeral (no-checkpoint) crawls, so committing at the
-            # top of the next round instead of the bottom of the current
-            # one saves one full state write+read per crawl — on a
-            # single-round seed-list replay, that is the whole frontier
+            # join the PREVIOUS round's async state commits: the writes
+            # were submitted at the loop bottom on a background thread,
+            # so they overlapped the round's tail jobs (metrics collects,
+            # manifest write) and each other instead of running serially
+            # here. Rounds that cannot continue (rnd == max_rounds) never
+            # submit — the final round's frontier/seen have no consumer
+            # in ephemeral (no-checkpoint) crawls; on a single-round
+            # seed-list replay that skip is the whole frontier write
             if deferred:
-                for var, name, r in deferred:
+                for var, fut in deferred:
                     if var == "frontier":
-                        frontier = self._materialize(frontier, name, r)
+                        frontier = fut.result()
                     else:
-                        seen = self._materialize(seen, name, r)
+                        seen = fut.result()
                 deferred = []
             # cached working sets from earlier rounds have no consumer
             # left once the deferred commits above are durable AND every
@@ -696,14 +718,16 @@ class CrawlEngine:
                 )
                 if self.checkpoint_dir:
                     seen = self._materialize(seen, "seen", rnd)
-                else:
-                    deferred.append(("seen", "seen", rnd))
+                elif rnd < max_rounds:
+                    deferred.append(("seen", self._commit_async(seen, "seen", rnd)))
             elif self.checkpoint_dir:
                 seen = self._materialize(seen, "seen", rnd)
             if self.checkpoint_dir:
                 frontier = self._materialize(frontier, "frontier", rnd)
-            else:
-                deferred.append(("frontier", "frontier", rnd))
+            elif rnd < max_rounds:
+                deferred.append(
+                    ("frontier", self._commit_async(frontier, "frontier", rnd))
+                )
 
             # ---- lineage metrics ----------------------------------------
             # All counts come from already-materialized round state, each
@@ -786,6 +810,36 @@ class CrawlEngine:
             self._working_sets.append(df)
             return df
         return df.localCheckpoint(eager=True)
+
+    def _commit_async(self, df: DataFrame, name: str, rnd: int):
+        """Submit an ephemeral round-state commit on a background thread
+        and return its Future (result = the committed, lineage-truncated
+        frame). The write then overlaps the round's tail jobs (metrics
+        collects, manifest write) and the sibling commit (frontier and
+        seen commit concurrently, pool of 2) instead of serializing at
+        the top of the next round. Spark local properties are per-thread
+        (pinned-thread mode), so the commit runs in its own job group and
+        scheduler pool — under FAIR scheduling it never starves the
+        foreground round, under default FIFO the jobs still interleave
+        whenever task slots are free."""
+        if self._commit_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._commit_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="reffy-state-commit"
+            )
+
+        def work() -> DataFrame:
+            sc = self.spark.sparkContext
+            sc.setLocalProperty("spark.scheduler.pool", "reffy_state_commit")
+            sc.setJobGroup(
+                f"reffy-state-{name}-r{rnd}",
+                "async ephemeral round-state commit",
+                False,
+            )
+            return self._materialize(df, name, rnd)
+
+        return self._commit_pool.submit(work)
 
     def _release_working_sets(self) -> None:
         for df in self._working_sets:

@@ -271,7 +271,10 @@ def host_budgets(robots: DataFrame, round_ms: int, default_delay_ms: int = 100) 
 
     Mirrors the reference's per-origin sleep intervals
     (specs-crawler.js:461-470) re-expressed as a BSP budget (SURVEY.md
-    §2.9 "stateful rate limiting").
+    §2.9 "stateful rate limiting"). A crawl delay of 0 (legal in real
+    robots files: "no delay", the reference's replay-mode sleep of 0 ms,
+    specs-crawler.js:463) or NULL must not divide by zero under ANSI
+    mode — it clamps to 1 ms, i.e. an effectively unbounded budget.
     """
     return (
         robots.groupBy("host")
@@ -280,7 +283,10 @@ def host_budgets(robots: DataFrame, round_ms: int, default_delay_ms: int = 100) 
             "host",
             F.greatest(
                 F.lit(1),
-                F.floor(F.lit(round_ms) / F.col("crawl_delay_ms")).cast("int"),
+                F.floor(
+                    F.lit(round_ms)
+                    / F.greatest(F.coalesce("crawl_delay_ms", F.lit(1)), F.lit(1))
+                ).cast("int"),
             ).alias("budget"),
         )
     )

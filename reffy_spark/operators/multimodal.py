@@ -2,12 +2,17 @@
 
 Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The actual codec step is STUBBED
-(this container has no image/audio libraries): ``codec="real"`` raises
-``NotImplementedError`` with the intended dependency, while the default
-deterministic fake codec exercises the full Spark-side contract — schema,
-partitioning, UDF signature, batch shapes — which is what the pipeline
-architecture actually depends on.
+Arrow-batched ``mapInPandas`` stages. Two codecs:
+
+- ``codec="fake"`` (default): deterministic synthetic payloads that
+  exercise the full Spark-side contract — schema, partitioning, UDF
+  signature, batch shapes — which is what the pipeline architecture
+  actually depends on.
+- ``codec="real"``: decodes REAL bytes. PNG (8-bit grey/RGB/RGBA,
+  non-interlaced) is handled by the pure-stdlib decoder in
+  ``reffy_spark.functions.png`` — no image libraries needed; any other
+  format raises ``NotImplementedError`` naming the intended dependency
+  (Pillow/libvips), since this container ships none.
 
 Fake payload layout (deterministic, seed-free):
     bytes 0-3   magic b"FIMG"
@@ -80,6 +85,28 @@ def _decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8).reshape(h, w, c)
 
 
+def _decoder(codec: str):
+    """Codec dispatch shared by the mapInPandas stages. Returns a
+    ``payload -> (h, w, c) uint8 ndarray`` callable."""
+    if codec == "fake":
+        return _decode
+    if codec == "real":
+        from reffy_spark.functions.png import decode_png, is_png
+
+        def real(payload: bytes) -> np.ndarray:
+            data = bytes(payload)
+            if is_png(data):
+                return decode_png(data)
+            raise NotImplementedError(
+                "codec='real' decodes PNG via the stdlib decoder; other "
+                "formats (JPEG/WebP/...) require Pillow or libvips — not "
+                "present in this container"
+            )
+
+        return real
+    raise ValueError(f"unknown codec {codec!r} (expected 'fake' or 'real')")
+
+
 def image_features(
     images: DataFrame,
     codec: str = "fake",
@@ -91,26 +118,30 @@ def image_features(
     scale, so the stage is embarrassingly parallel over the binary column
     and should follow a repartition by id hash (no skew: payload sizes
     are bounded by the format, not the key distribution).
+
+    ``codec="real"`` decodes PNG payloads via the stdlib decoder; grey
+    images report the single channel as all three means, RGBA images
+    report the color channels (alpha excluded from means, included in
+    std/embedding).
     """
-    if codec != "fake":
-        raise NotImplementedError(
-            "real image decode requires Pillow/libvips — not present in this "
-            "container; the Spark-side contract (schema, batching, "
-            "partitioning) is identical for real codecs"
-        )
+    decode = _decoder(codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             recs = []
             for i, payload in zip(b[id_col], b[bin_col]):
-                arr = _decode(bytes(payload)).astype(np.float64)
+                arr = decode(bytes(payload)).astype(np.float64)
                 means = arr.mean(axis=(0, 1))
+                if means.shape[0] == 1:  # greyscale
+                    m_r = m_g = m_b = float(means[0])
+                else:  # RGB / RGBA: color channels only
+                    m_r, m_g, m_b = (float(means[j]) for j in range(3))
                 recs.append(
                     {
                         "doc_id": int(i),
-                        "mean_r": round(float(means[0]), 6),
-                        "mean_g": round(float(means[1]), 6),
-                        "mean_b": round(float(means[2]), 6),
+                        "mean_r": round(m_r, 6),
+                        "mean_g": round(m_g, 6),
+                        "mean_b": round(m_b, 6),
                         "std_all": round(float(arr.std()), 6),
                         "embedding": [
                             round(float(x), 6) for x in arr.mean(axis=(1, 2))
@@ -137,26 +168,29 @@ def resize_images(
     id_col: str = "doc_id",
     bin_col: str = "image",
 ) -> DataFrame:
-    """Nearest-neighbor resize, re-encoded in the fake format (the
-    decode→transform→encode roundtrip every multimodal pipeline needs)."""
-    if codec != "fake":
-        raise NotImplementedError("real resize requires an image library")
+    """Nearest-neighbor resize + re-encode in the input's format (the
+    decode→transform→encode roundtrip every multimodal pipeline needs).
+    ``codec="real"`` round-trips PNG bytes via the stdlib codec."""
+    decode = _decoder(codec)
+
+    def encode(arr: np.ndarray, c: int) -> bytes:
+        if codec == "fake":
+            h, w = arr.shape[:2]
+            return MAGIC + struct.pack("<HHB", w, h, c) + arr.tobytes()
+        from reffy_spark.functions.png import encode_png
+
+        return encode_png(arr)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out_rows = []
             for i, payload in zip(b[id_col], b[bin_col]):
-                arr = _decode(bytes(payload))
+                arr = decode(bytes(payload))
                 h, w, c = arr.shape
                 ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
-                resized = arr[np.ix_(ys, xs)]
-                payload_out = (
-                    MAGIC
-                    + struct.pack("<HHB", out_w, out_h, c)
-                    + resized.tobytes()
-                )
-                out_rows.append({"doc_id": int(i), "image": payload_out})
+                resized = np.ascontiguousarray(arr[np.ix_(ys, xs)])
+                out_rows.append({"doc_id": int(i), "image": encode(resized, c)})
             yield pd.DataFrame(out_rows, columns=["doc_id", "image"])
 
     return images.select(id_col, bin_col).mapInPandas(run, "doc_id long, image binary")

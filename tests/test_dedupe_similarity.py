@@ -121,10 +121,12 @@ def test_multimodal_roundtrip(spark):
         assert (w, h, c) == (4, 4, 3)
 
 
-def test_multimodal_real_codec_is_stubbed(spark):
+def test_multimodal_unknown_codec_rejected(spark):
+    # codec="real" now decodes PNG (tests/test_png_multimodal.py); an
+    # unknown codec name still fails fast at plan time
     df = MM.attach_fake_images(spark.range(0, 1).withColumnRenamed("id", "doc_id"))
-    with pytest.raises(NotImplementedError):
-        MM.image_features(df, codec="real")
+    with pytest.raises(ValueError, match="unknown codec"):
+        MM.image_features(df, codec="webp")
 
 
 def test_ann_multiprobe_recovers_recall(spark, sf_dir):
