@@ -281,9 +281,25 @@ else:
 seeds = spark.read.parquet({corpus!r} + "/seeds.parquet")
 robots = spark.read.parquet({corpus!r} + "/robots.parquet")
 MODS = ["links", "headings", "ids", "dfns", "title"]
-# untimed warm-up: JIT + python-worker spawn + broadcast machinery
+# Untimed warm-up: a tiny throwaway replay through a SEPARATE engine
+# instance. Phase attribution (tools/replay_phase_diag.py, r5) showed the
+# frontier/rank/fetch phases are dominated by per-plan CONSTANTS — JIT of
+# the codegen'd canon/rank/join classes in EVERY executor JVM, python
+# worker spawn, broadcast machinery — not by data work (the two-phase
+# rank over the warm 1.2M-row frontier is 0.2 s; its first cold run is
+# ~5 s in one JVM and ~20 s across 4). Only JVM-level state (JIT code
+# cache, worker pools) survives into the timed run: the warm engine is
+# discarded and the timed engine builds all its own data caches.
 from reffy_spark.extractors.base import extract_all
 extract_all(pages.limit(2000), MODS, url_col="url_canon", html_col="html").count()
+warm = CrawlEngine(spark, pages, robots,
+                   modules=MODS,
+                   round_ms=1_000_000_000, use_bloom=False,
+                   collect_metrics=False, discover=False,
+                   assume_canonical_unique=True,
+                   assume_seeds_unique=True, broadcast_batch=bcast)
+warm.crawl(seeds.limit(20000), max_rounds=1).results.filter(
+    "status = 'ok'").count()
 eng = CrawlEngine(spark, pages, robots,
                   modules=MODS,
                   round_ms=1_000_000_000, use_bloom=False, collect_metrics=False,

@@ -316,3 +316,29 @@ def test_bigram_novelty_no_window_two_shuffles(spark):
     plan = plan_of(bigram_novelty(docs))
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_fetch_misses_never_shuffle_pages(spark):
+    """Fused notfound (r5): with a broadcast batch, the misses must come
+    from an anti-join against the broadcast matched-key set — the pages
+    key set (10^10 rows at scale) must NOT be hash-shuffled. The bucketed
+    (non-broadcast) path keeps the keys-only shuffle_hash anti-join."""
+    import re
+
+    from reffy_spark.operators.crawler import fetch_with_fallback
+
+    pages = spark.createDataFrame(
+        [(f"https://h{i}.test/", f"<html>{i}</html>") for i in range(50)],
+        "url_canon string, html string",
+    )
+    batch = spark.createDataFrame(
+        [(f"https://h{i}.test/", i) for i in range(0, 60, 2)],
+        "url_canon string, seed_idx int",
+    )
+    _ok, notfound = fetch_with_fallback(pages, batch, broadcast_batch=True)
+    plan = plan_of(notfound)
+    # the anti-join's build side is a broadcast, not a shuffled relation
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan)
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+    # and it returns exactly the batch keys absent from pages
+    assert notfound.count() == 5  # h50..h58 even

@@ -59,6 +59,11 @@ def run(corpus: str, workers: int) -> None:
 
 
 if __name__ == "__main__":
-    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/reffy_scaling_corpus_1200000"
+    if len(sys.argv) > 1:
+        corpus = sys.argv[1]
+    else:  # track bench.py's corpus location (pages + bucket suffix)
+        import bench
+
+        corpus = bench.SCALE_CORPUS
     for w in [int(x) for x in sys.argv[2:]] or [8, 32]:
         run(corpus, w)
