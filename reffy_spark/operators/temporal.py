@@ -228,6 +228,101 @@ def sessionize(
     ).drop("_ns")
 
 
+def sessionize_skewsafe(
+    events: DataFrame,
+    by: str = "user_id",
+    ts: str = "ts",
+    gap_minutes: int = 30,
+    num_parts: int | None = None,
+) -> DataFrame:
+    """``sessionize`` without the hot-key hazard: bit-identical
+    ``session_idx``, but no task ever sorts a whole ``by`` group.
+
+    Same two-phase shape as ``asof_join_skewsafe``:
+
+    1. range-repartition on (by, ts) — equal (by, ts) rows stay
+       together, a hot key spreads over contiguous partitions;
+    2. slice-local lag + gap flags + running flag-sum per (_pid, by)
+       (the first row of a slice flags 0 locally — its true flag is the
+       boundary flag below);
+    3. per-slice summary (first/last event time, internal flag sum);
+       per key in _pid order, the boundary flag of a slice compares its
+       first event against the PREVIOUS slice's last event, and the
+       slice's session offset is the running sum of earlier slices'
+       internal+boundary flags — windows over the (pid, key) summary
+       table only (≤ num_parts rows per key);
+    4. adjustment = offset + own boundary flag, joined back on
+       (_pid, by). Non-zero adjustments exist only for continuation
+       slices — under range partitioning, at most the first key of each
+       partition — so the join side is ≤ num_parts rows: broadcast.
+
+    Tie behavior matches ``sessionize`` exactly: equal-ts rows have gap
+    ≤ 0 regardless of their relative order, so the flag (and therefore
+    every session index) is order-insensitive within a tie.
+    """
+    spark = events.sparkSession
+    if num_parts is None:
+        num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    gap_us = gap_minutes * 60 * 1_000_000
+    t_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    ranged = events.repartitionByRange(num_parts, F.col(by), F.col(ts))
+    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    global _prev_asof_cache
+    if _prev_asof_cache is not None:
+        try:
+            _prev_asof_cache.unpersist(blocking=False)
+        except Exception:
+            pass
+    _prev_asof_cache = part
+
+    w_loc = Window.partitionBy("_pid", by).orderBy(ts)
+    flagged = part.withColumn("_tus", t_us).withColumn(
+        "_ns",
+        F.when(F.col("_tus") - F.lag("_tus").over(w_loc) > gap_us, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    local = flagged.withColumn(
+        "_lcum",
+        F.sum("_ns").over(
+            w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sl = flagged.groupBy("_pid", by).agg(
+        F.min("_tus").alias("_first"),
+        F.max("_tus").alias("_last"),
+        F.sum("_ns").alias("_intflags"),
+    )
+    w_key = Window.partitionBy(by).orderBy("_pid")
+    sl = sl.withColumn("_prev_last", F.lag("_last").over(w_key)).withColumn(
+        "_bflag",
+        F.when(F.col("_first") - F.col("_prev_last") > gap_us, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    adj = (
+        sl.withColumn(
+            "_off",
+            F.coalesce(
+                F.sum(F.col("_intflags") + F.col("_bflag")).over(
+                    w_key.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", by, (F.col("_off") + F.col("_bflag")).alias("_adj"))
+        .filter(F.col("_adj") != 0)
+    )
+    return (
+        local.join(F.broadcast(adj), on=["_pid", by], how="left")
+        .withColumn(
+            "session_idx",
+            (F.col("_lcum") + F.coalesce(F.col("_adj"), F.lit(0))).cast("long"),
+        )
+        .select(*events.columns, "session_idx")  # original column order
+    )
+
+
 def session_stats(
     events: DataFrame,
     by: str = "user_id",

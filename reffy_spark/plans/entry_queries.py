@@ -1252,7 +1252,7 @@ _SAMPLE_FIRST = [
     "pagerank", "host_authority", "budget_apportion",
     "duplicate_spans", "line_dedup", "pack_sequences",
     "asof_prior_signup", "asof_skewsafe", "sessionize_events",
-    "session_stats",
+    "sessionize_skewsafe", "session_stats",
     "pii_scan", "url_filter", "classifier_score",
     "fallback_reuse", "schema_violations", "idlparsed_ast",
     "neardup_components", "dedup_canonical", "repetition_profile",

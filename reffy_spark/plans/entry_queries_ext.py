@@ -3088,6 +3088,18 @@ ORACLE_SESSIONIZE_EVENTS = """
 """
 
 
+def q_sessionize_skewsafe(spark, sf_dir):
+    """Gap sessionization through the two-phase skew-safe plan —
+    bit-identical to ``sessionize_events``, shares its oracle. Proves
+    the hot-key-safe path against the direct-window DuckDB SQL."""
+    from reffy_spark.operators.temporal import sessionize_skewsafe
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    return sessionize_skewsafe(ev)
+
+
 def q_session_stats(spark, sf_dir):
     """Per-session rollup: counts + min/max only (no cross-row float
     sums) — bit-exact vs the oracle."""
@@ -3126,6 +3138,8 @@ EXT_QUERIES["asof_skewsafe"] = q_asof_skewsafe
 EXT_ORACLES["asof_skewsafe"] = ORACLE_ASOF_PRIOR_SIGNUP
 EXT_QUERIES["sessionize_events"] = q_sessionize_events
 EXT_ORACLES["sessionize_events"] = ORACLE_SESSIONIZE_EVENTS
+EXT_QUERIES["sessionize_skewsafe"] = q_sessionize_skewsafe
+EXT_ORACLES["sessionize_skewsafe"] = ORACLE_SESSIONIZE_EVENTS
 EXT_QUERIES["session_stats"] = q_session_stats
 EXT_ORACLES["session_stats"] = ORACLE_SESSION_STATS
 

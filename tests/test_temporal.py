@@ -155,6 +155,52 @@ def test_session_stats_rollup(spark):
     assert out[(8, 0)]["n_events"] == 1
 
 
+def test_sessionize_skewsafe_matches_direct_on_skewed_corpus(spark):
+    """Bit-identical session_idx when one key holds half the rows and
+    spans many range partitions; gaps engineered to fall both inside
+    slices and exactly on slice boundaries."""
+    from reffy_spark.operators.temporal import sessionize, sessionize_skewsafe
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 1, 1)
+    for i in range(300):  # hot key: gap > 30min every 4th event
+        eid += 1
+        step = 31 if i % 4 == 0 else 5
+        base += dt.timedelta(minutes=step)
+        rows.append((eid, 1, base))
+    for k in range(2, 52):  # 50 cold keys, 6 events, one mid-gap
+        t = dt.datetime(2024, 1, 2, k % 24)
+        for i in range(6):
+            eid += 1
+            t += dt.timedelta(minutes=45 if i == 3 else 10)
+            rows.append((eid, k, t))
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    want = sorted(tuple(r) for r in sessionize(ev).collect())
+    got = sorted(
+        tuple(r) for r in sessionize_skewsafe(ev, num_parts=8).collect()
+    )
+    assert got == want
+    assert len(got) == 600
+
+
+def test_sessionize_skewsafe_plan_bounded_sorts(spark):
+    """No window led by the key alone over the event data — only the
+    (pid, key) summary table; the adjustment side is broadcast."""
+    import re
+
+    from reffy_spark.operators.temporal import sessionize_skewsafe
+
+    ev = spark.createDataFrame(
+        [(i, i % 3, _ts(i % 60)) for i in range(100)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = sessionize_skewsafe(ev, num_parts=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+    assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#", plan)
+    assert "BroadcastExchange" in plan
+
+
 def test_sessionize_single_sort(spark):
     """lag + running sum must share one exchange+sort (same window
     spec), not two."""
