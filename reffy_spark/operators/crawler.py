@@ -708,8 +708,13 @@ class CrawlEngine:
             # the resume contract: every round must leave frontier+seen on
             # disk). Ephemeral crawls defer the commit to the top of the
             # next round — if this was the last round, it never happens.
+            # batch keys are budget-bounded (the fetch-join broadcast
+            # argument) — hint it so the frontier side never shuffles
+            # even when cache statistics are unavailable
             frontier = frontier.join(
-                batch.select("url_canon"), on="url_canon", how="left_anti"
+                F.broadcast(batch.select("url_canon")),
+                on="url_canon",
+                how="left_anti",
             )
             if new_urls is not None:
                 frontier = frontier.unionByName(new_urls.select(*frontier.columns))

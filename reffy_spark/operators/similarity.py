@@ -439,3 +439,253 @@ def ann_topk_ivf(
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid 2011, "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI 33(1)) — the memory-bound ANN
+# answer at 100 TB: a 64-dim float32 vector compresses to m small codes
+# (m bytes at k ≤ 256), and query distance evaluation becomes m table
+# lookups (ADC) instead of a 64-dim fold. Complements IVF (which prunes
+# WHICH vectors to score; PQ shrinks HOW each is scored) — production
+# systems compose them (IVFADC).
+#
+# Same oracle strategy as the IVF family: the default codebooks are the
+# subspace slices of the first k vectors (deterministic, recomputable in
+# DuckDB SQL); `pq_train` refines them with Lloyd's iterations for
+# production use, and trained books enter queries as literals.
+# --------------------------------------------------------------------------
+
+
+def _sub_l2(vsub: Column, codeword: list[float]) -> Column:
+    """Σ (x - c)^2 over one subspace — ascending-index fold, matching
+    DuckDB's list_sum(list_transform(range(...))) evaluation order."""
+    cw = F.array(*[F.lit(float(x)) for x in codeword])
+    return F.aggregate(
+        F.zip_with(
+            vsub, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic codebooks ``[m][k][d/m]``: subspace slices of the k
+    lowest-id vectors (code id = rank by vec id). Oracle-recomputable;
+    ``pq_train`` is the production refinement."""
+    rows = (
+        emb.filter(F.col(id_col) < k)
+        .orderBy(id_col)
+        .select(id_col, vec_col)
+        .collect()  # quantizer metadata: k rows, driver-sized
+    )
+    d = len(rows[0][vec_col])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    return [
+        [[float(x) for x in r[vec_col][j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_code_cols(v: Column, books: list[list[list[float]]]) -> list[Column]:
+    """Per-subspace code assignment: argmin L2 over codeword literals
+    (ties → lowest code id) — array_min over (dist, code) structs, the
+    zero-shuffle argmax idiom of ``ivf_assignments``."""
+    dsub = len(books[0][0])
+    cols = []
+    for j, book in enumerate(books):
+        vsub = F.slice(v, j * dsub + 1, dsub)
+        entries = F.array(
+            *[
+                F.struct(
+                    _sub_l2(vsub, cw).alias("d"),
+                    F.lit(c).cast("int").alias("c"),
+                )
+                for c, cw in enumerate(book)
+            ]
+        )
+        cols.append(F.array_min(entries)["c"])
+    return cols
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes array<int>) — the compressed index table. Pure
+    Column expressions over codeword literals: no shuffle, no window;
+    at 100 TB this is the single map pass that writes the PQ index."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.array(*_pq_code_cols(F.col(vec_col), books)).alias("codes"),
+    )
+
+
+def pq_cells(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """Per-(subspace, code) population — the codebook-balance diagnostic
+    (a starved codeword wastes index bits) and full coverage of the
+    assignment math. All-integer output."""
+    bk = books if books is not None else pq_codebooks(emb, m, k, id_col, vec_col)
+    codes = pq_encode(emb, bk, id_col, vec_col)
+    return (
+        codes.select(F.posexplode("codes").alias("subspace", "code"))
+        .groupBy("subspace", "code")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .select(
+            F.col("subspace").cast("long"),
+            F.col("code").cast("long"),
+            "n_vectors",
+        )
+    )
+
+
+def ann_topk_pq(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    books: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k: the query-to-codeword
+    distance table (m × n_codes doubles) is computed ONCE driver-side and
+    enters the plan as literals; each row's approximate squared-L2 is m
+    ``element_at`` lookups summed in ascending-subspace order. One scan +
+    partial top-k — the scan reads only the codes column at scale (the
+    raw vectors stay in cold storage)."""
+    bk = books if books is not None else pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    dsub = len(bk[0][0])
+
+    def l2_py(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):  # ascending fold, same order as _sub_l2
+            acc += (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    code_cols = _pq_code_cols(F.col(vec_col), bk)
+    adist = None
+    for j, book in enumerate(bk):
+        qsub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        table = F.array(*[F.lit(l2_py(qsub, cw)) for cw in book])
+        term = F.element_at(table, code_cols[j] + F.lit(1))
+        adist = term if adist is None else adist + term
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.round(adist, 6).alias("pq_dist"),
+        )
+        .orderBy(F.col("pq_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def pq_reconstruction_error(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean per-vector quantization error Σ_j l2(v_j, codeword(v_j)) —
+    the quantity Lloyd's iterations minimize; used to verify training
+    beats the first-k quantizer."""
+    v = F.col(vec_col)
+    dsub = len(books[0][0])
+    code_cols = _pq_code_cols(v, books)
+    err = None
+    for j, book in enumerate(books):
+        vsub = F.slice(v, j * dsub + 1, dsub)
+        cw_lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in book]
+        )
+        cw = F.element_at(cw_lits, code_cols[j] + F.lit(1))
+        term = F.aggregate(
+            F.zip_with(
+                vsub, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        err = term if err is None else err + term
+    row = emb.agg(F.avg(err).alias("e")).first()
+    return float(row["e"])
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd's k-means per subspace, all subspaces refined in ONE
+    DataFrame pass per iteration (the ``ivf_kmeans`` recipe, keyed
+    (subspace, code, dim)): assign = zero-shuffle argmin over codeword
+    literals; update = explode (subspace, code, subvector) → posexplode
+    dims → one partial-aggregated avg; only m × k × (d/m) rows (codebook
+    metadata) reach the driver. Deterministic first-k init — training is
+    reproducible without RNG. Empty cells keep their codeword. At 100 TB
+    train on a bounded sample; the operator takes whatever frame it is
+    handed."""
+    books = pq_codebooks(emb, m, k, id_col, vec_col)
+    dsub = len(books[0][0])
+    v = F.col(vec_col)
+    for _ in range(max(0, n_iters)):
+        code_cols = _pq_code_cols(v, books)
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    code_cols[j].alias("code"),
+                    F.slice(v, j * dsub + 1, dsub).alias("sub"),
+                )
+                for j in range(m)
+            ]
+        )
+        ex = (
+            emb.select(F.explode(structs).alias("s"))
+            .select("s.j", "s.code", F.posexplode("s.sub").alias("dim", "val"))
+        )
+        means = (
+            ex.groupBy("j", "code", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()  # m × k × dsub rows — codebook metadata
+        )
+        table: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            table.setdefault((int(r["j"]), int(r["code"])), {})[int(r["dim"])] = float(
+                r["mean"]
+            )
+        new_books = []
+        for j in range(m):
+            book = []
+            for c in range(k):
+                dims = table.get((j, c))
+                if dims:
+                    book.append([dims[i] for i in range(dsub)])
+                else:  # empty cell keeps its codeword
+                    book.append(books[j][c])
+            new_books.append(book)
+        if new_books == books:
+            break  # converged
+        books = new_books
+    return books

@@ -2341,6 +2341,98 @@ EXT_ORACLES.update(
 )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.py pq_* family)
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces over the 64-dim embeddings (16 dims each)
+_PQ_K = 8  # codewords per subspace (first-k deterministic quantizer)
+_PQ_DSUB = 16
+
+
+def _pq_sub_l2_sql(a: str, b: str, j: str) -> str:
+    """Σ (a[i]-b[i])^2 over subspace ``j``'s dim range — multiplication,
+    not ^, for bit-parity with the Spark fold."""
+    return (
+        f"list_sum(list_transform(range(1 + ({j})*{_PQ_DSUB}, "
+        f"1 + (({j})+1)*{_PQ_DSUB}), "
+        f"i -> ({a}[i]::DOUBLE - {b}[i]::DOUBLE) "
+        f"* ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+_PQ_CODES_CTE = f"""
+    cen AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ),
+    subs AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    subdist AS (
+      SELECT e.vec_id, s.j, c.cid,
+             {_pq_sub_l2_sql('e.embedding', 'c.cvec', 's.j')} AS d
+      FROM embeddings e CROSS JOIN subs s CROSS JOIN cen c
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                    ORDER BY d, cid) AS rn
+        FROM subdist
+      ) WHERE rn = 1
+    )
+"""
+
+
+def q_pq_cells(spark, sf_dir):
+    """Per-(subspace, code) PQ population — codebook-balance diagnostic
+    + full coverage of the subspace argmin assignment math."""
+    from reffy_spark.operators import similarity as S
+
+    return S.pq_cells(load(spark, sf_dir, "embeddings"), m=_PQ_M, k=_PQ_K)
+
+
+ORACLE_PQ_CELLS = f"""
+    WITH {_PQ_CODES_CTE}
+    SELECT j::BIGINT AS subspace, code::BIGINT AS code,
+           count(*)::BIGINT AS n_vectors
+    FROM codes GROUP BY 1, 2
+"""
+
+
+def q_ann_topk_pq(spark, sf_dir):
+    """ADC top-k: query-to-codeword tables as literals, per-row distance
+    = m element_at lookups summed in subspace order."""
+    from reffy_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return S.ann_topk_pq(emb, list(q0), k=10, m=_PQ_M, n_codes=_PQ_K)
+
+
+ORACLE_ANN_TOPK_PQ = f"""
+    WITH {_PQ_CODES_CTE},
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    terms AS (
+      SELECT codes.vec_id, codes.j,
+             {_pq_sub_l2_sql('q.qv', 'c.cvec', 'codes.j')} AS t
+      FROM codes JOIN cen c ON codes.code = c.cid CROSS JOIN q
+    ),
+    adc AS (
+      -- list(… ORDER BY j) + list_sum = the same ascending-subspace
+      -- left fold as the Spark literal sum
+      SELECT vec_id, list_sum(list(t ORDER BY j)) AS dist
+      FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(dist, 6) AS pq_dist
+    FROM adc ORDER BY pq_dist, vec_id LIMIT 10
+"""
+
+EXT_QUERIES.update({"pq_cells": q_pq_cells, "ann_topk_pq": q_ann_topk_pq})
+EXT_ORACLES.update(
+    {"pq_cells": ORACLE_PQ_CELLS, "ann_topk_pq": ORACLE_ANN_TOPK_PQ}
+)
+
+
 def q_domain_cap(spark, sf_dir):
     from reffy_spark.operators.corpus_quality import domain_cap
 
