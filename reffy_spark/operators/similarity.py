@@ -517,6 +517,31 @@ def _pq_code_cols(v: Column, books: list[list[list[float]]]) -> list[Column]:
     return cols
 
 
+def _adc_dist_col(
+    v: Column, books: list[list[list[float]]], query_vec: list[float]
+) -> Column:
+    """Asymmetric-distance column: per-subspace query-to-codeword L2
+    tables computed ONCE driver-side (ascending fold — the same double
+    sequence DuckDB's list_sum produces), looked up by the row's codes
+    and summed in ascending-subspace order."""
+    dsub = len(books[0][0])
+
+    def l2_py(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):  # ascending fold, same order as _sub_l2
+            acc += (float(x) - float(y)) * (float(x) - float(y))
+        return acc
+
+    code_cols = _pq_code_cols(v, books)
+    adist = None
+    for j, book in enumerate(books):
+        qsub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
+        table = F.array(*[F.lit(l2_py(qsub, cw)) for cw in book])
+        term = F.element_at(table, code_cols[j] + F.lit(1))
+        adist = term if adist is None else adist + term
+    return adist
+
+
 def pq_encode(
     emb: DataFrame,
     books: list[list[list[float]]],
@@ -574,21 +599,7 @@ def ann_topk_pq(
     partial top-k — the scan reads only the codes column at scale (the
     raw vectors stay in cold storage)."""
     bk = books if books is not None else pq_codebooks(emb, m, n_codes, id_col, vec_col)
-    dsub = len(bk[0][0])
-
-    def l2_py(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):  # ascending fold, same order as _sub_l2
-            acc += (float(x) - float(y)) * (float(x) - float(y))
-        return acc
-
-    code_cols = _pq_code_cols(F.col(vec_col), bk)
-    adist = None
-    for j, book in enumerate(bk):
-        qsub = [float(x) for x in query_vec[j * dsub : (j + 1) * dsub]]
-        table = F.array(*[F.lit(l2_py(qsub, cw)) for cw in book])
-        term = F.element_at(table, code_cols[j] + F.lit(1))
-        adist = term if adist is None else adist + term
+    adist = _adc_dist_col(F.col(vec_col), bk, query_vec)
     return (
         emb.select(
             F.col(id_col).alias("vec_id"),
@@ -689,3 +700,46 @@ def pq_train(
             break  # converged
         books = new_books
     return books
+
+
+def ann_topk_ivfadc(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: "list[tuple[int, list[float]]] | None" = None,
+    books: "list[list[list[float]]] | None" = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV, the FAISS ``IVFx,PQy`` shape):
+    the production composition at 10^10+ vectors — IVF prunes WHICH
+    vectors are scored (nprobe inverted lists → static partition pruning
+    on a centroid-partitioned index table), PQ prunes HOW each survivor
+    is scored (m table lookups on the codes column; raw vectors stay in
+    cold storage). Cell selection uses the IVF family's cosine
+    quantizer; in-cell scoring is PQ's approximate squared-L2 — each
+    half identical to (and oracle-proven by) its standalone operator."""
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_centroids, id_col, vec_col)
+    )
+    bk = books if books is not None else pq_codebooks(emb, m, n_codes, id_col, vec_col)
+    ranked = sorted(
+        ((cid, _cos_py(query_vec, cvec)) for cid, cvec in cents),
+        key=lambda t: (-t[1], t[0]),
+    )
+    probes = [cid for cid, _ in ranked[:nprobe]]
+    asg = ivf_assignments(emb, cents, id_col, vec_col).filter(
+        F.col("centroid_id").isin(probes)
+    )
+    adist = _adc_dist_col(F.col(vec_col), bk, query_vec)
+    return (
+        asg.select("vec_id", F.round(adist, 6).alias("pq_dist"))
+        .orderBy(F.col("pq_dist").asc(), F.col("vec_id"))
+        .limit(k)
+    )

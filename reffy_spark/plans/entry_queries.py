@@ -1259,6 +1259,7 @@ _SAMPLE_FIRST = [
     "decontaminate", "stratified_sample", "domain_cap", "token_stats",
     "bigram_novelty", "doc_keywords",
     "ivf_cells", "ann_topk_ivf", "pq_cells", "ann_topk_pq",
+    "ann_topk_ivfadc",
     # round-4 reference-parity additions that fell outside the r4 sample
     "patch_dfns", "cssmerge_full", "idlnames_fragments", "missing_dfns",
     "idlnames_dfns", "seed_filters", "cache_info", "fetch_fallback",

@@ -2427,9 +2427,90 @@ ORACLE_ANN_TOPK_PQ = f"""
     FROM adc ORDER BY pq_dist, vec_id LIMIT 10
 """
 
-EXT_QUERIES.update({"pq_cells": q_pq_cells, "ann_topk_pq": q_ann_topk_pq})
+def q_ann_topk_ivfadc(spark, sf_dir):
+    """IVFADC (FAISS IVFx,PQy shape): IVF prunes WHICH vectors are
+    scored (nprobe cells), PQ prunes HOW (ADC lookups) — the production
+    composition at 10^10+ vectors."""
+    from reffy_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return S.ann_topk_ivfadc(
+        emb, list(q0), k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE,
+        m=_PQ_M, n_codes=_PQ_K,
+    )
+
+
+ORACLE_ANN_TOPK_IVFADC = f"""
+    WITH icen AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_IVF_K}
+    ),
+    iscored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_cos_sql('e.embedding', 'c.cvec')} AS cos
+      FROM embeddings e CROSS JOIN icen c
+    ),
+    iasg AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cid) AS rn
+        FROM iscored
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT cid FROM iscored WHERE vec_id = 0
+      ORDER BY cos DESC, cid LIMIT {_IVF_NPROBE}
+    ),
+    sel AS (
+      SELECT a.vec_id, a.embedding FROM iasg a JOIN probes p ON a.cid = p.cid
+    ),
+    cen AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ),
+    subs AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+    subdist AS (
+      SELECT e.vec_id, s.j, c.cid,
+             {_pq_sub_l2_sql('e.embedding', 'c.cvec', 's.j')} AS d
+      FROM sel e CROSS JOIN subs s CROSS JOIN cen c
+    ),
+    codes AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT vec_id, j, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j
+                    ORDER BY d, cid) AS rn
+        FROM subdist
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    terms AS (
+      SELECT codes.vec_id, codes.j,
+             {_pq_sub_l2_sql('q.qv', 'c.cvec', 'codes.j')} AS t
+      FROM codes JOIN cen c ON codes.code = c.cid CROSS JOIN q
+    ),
+    adc AS (
+      SELECT vec_id, list_sum(list(t ORDER BY j)) AS dist
+      FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id, ROUND(dist, 6) AS pq_dist
+    FROM adc ORDER BY pq_dist, vec_id LIMIT 10
+"""
+
+EXT_QUERIES.update(
+    {
+        "pq_cells": q_pq_cells,
+        "ann_topk_pq": q_ann_topk_pq,
+        "ann_topk_ivfadc": q_ann_topk_ivfadc,
+    }
+)
 EXT_ORACLES.update(
-    {"pq_cells": ORACLE_PQ_CELLS, "ann_topk_pq": ORACLE_ANN_TOPK_PQ}
+    {
+        "pq_cells": ORACLE_PQ_CELLS,
+        "ann_topk_pq": ORACLE_ANN_TOPK_PQ,
+        "ann_topk_ivfadc": ORACLE_ANN_TOPK_IVFADC,
+    }
 )
 
 

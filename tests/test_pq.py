@@ -67,3 +67,33 @@ def test_pq_dim_must_divide(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         S.pq_codebooks(emb, m=2, k=1)
+
+
+def test_ivfadc_subset_of_probed_cells(spark, sf_dir):
+    """IVFADC results come only from the probed IVF cells, scored with
+    the same ADC distances ann_topk_pq would give those vectors."""
+    from pyspark.sql import functions as F
+
+    from reffy_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    top = S.ann_topk_ivfadc(emb, q0, k=10, n_centroids=8, nprobe=2, m=4, n_codes=8)
+    rows = top.collect()
+    assert 0 < len(rows) <= 10
+    # members must belong to the 2 probed cells
+    cents = S.ivf_centroids(emb, 8)
+    asg = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.ivf_assignments(emb, cents).select("vec_id", "centroid_id").collect()
+    }
+    probed = {asg[r["vec_id"]] for r in rows}
+    assert len(probed) <= 2
+    # ADC distances agree with the full-scan PQ ranking for those ids
+    books = S.pq_codebooks(emb, m=4, k=8)
+    full = {
+        r["vec_id"]: r["pq_dist"]
+        for r in S.ann_topk_pq(emb, q0, k=emb.count(), m=4, n_codes=8, books=books).collect()
+    }
+    for r in rows:
+        assert full[r["vec_id"]] == r["pq_dist"]
