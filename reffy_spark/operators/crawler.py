@@ -111,13 +111,20 @@ def fetch_with_fallback(
     fetch_cols = ["url_canon", "html"] + [
         c for c in ("warc_ts", "final_url") if c in pages.columns
     ]
+    if "final_url" in pages.columns and "page_url" in pages.columns:
+        # redirect detection compares the landed URL against the RAW
+        # request URL (specs-crawler.js:144-146) — page_url rides the
+        # fetch join only when the crawl opted into final_url
+        fetch_cols.append("page_url")
     fetched_ok = pages.select(*fetch_cols).join(
         batch_b, on="url_canon", how="inner"
     )
     if broadcast_batch:
-        matched = pages.select("url_canon").join(
-            batch_b.select("url_canon"), on="url_canon", how="inner"
-        )
+        # the matched key set IS the fetch join's own key output — at
+        # most |batch| rows by the broadcast argument; deriving it from
+        # fetched_ok (instead of a second pages⨝batch) keeps one plan for
+        # both branches and holds even when pages.url_canon is not unique
+        matched = fetched_ok.select("url_canon")
         miss = batch_slim.join(
             F.broadcast(matched), on="url_canon", how="left_anti"
         )
@@ -231,6 +238,10 @@ class CrawlEngine:
         # background executor for async ephemeral round-state commits
         # (created lazily; 2 workers = frontier + seen commit in parallel)
         self._commit_pool = None
+        # in-flight async round-state commits, resolved at the top of the
+        # next round — instance-held so the _run_rounds finally block can
+        # drain them if a round raises between submit and join
+        self._deferred: list[tuple[str, object]] = []
         # Conditional-recrawl reuse (specs-crawler.js:87-98,128-133 +
         # test/crawl.js "skips processing and reuse fallback data when
         # spec cache info indicates it has not changed"): a prior crawl's
@@ -389,15 +400,57 @@ class CrawlEngine:
         max_rounds: int,
         prior: list[DataFrame] | None = None,
     ) -> CrawlResult:
+        try:
+            return self._run_rounds_impl(
+                frontier, seen, start_round, max_rounds, prior
+            )
+        finally:
+            self.close()
+
+    def close(self) -> None:
+        """Resolve any in-flight async round-state commits and retire the
+        background commit pool (two non-daemon threads — without this an
+        engine that raised between a commit submit and the next round's
+        join would abandon the futures with their exceptions unobserved,
+        and leak the pool threads). Idempotent; crawl()/resume() recreate
+        the pool lazily, so an engine stays reusable after close().
+        CrawlEngine is also a context manager delegating here."""
+        pool, self._commit_pool = self._commit_pool, None
+        for _name, fut in self._deferred:
+            try:
+                fut.result()
+            except Exception:
+                # the round's own error is already propagating; a failed
+                # background commit of ephemeral state adds nothing — the
+                # crawl has no resume contract without a checkpoint_dir
+                pass
+        self._deferred = []
+        if pool is not None:
+            pool.shutdown(wait=True)
+
+    def __enter__(self) -> "CrawlEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+        self._release_working_sets()
+
+    def _run_rounds_impl(
+        self,
+        frontier: DataFrame,
+        seen: DataFrame,
+        start_round: int,
+        max_rounds: int,
+        prior: list[DataFrame] | None = None,
+    ) -> CrawlResult:
         all_results: list[DataFrame] = list(prior or [])
         metrics: list[RoundMetrics] = []
         # exact seen-set cardinality, carried across rounds so bloom
         # sizing never fires a per-round count() job: one count at loop
         # start, then += the new_urls count already computed for metrics
         seen_count: int | None = None
-        # in-flight async round-state commits, resolved at the top of the
-        # next round (ephemeral modes only — see the loop-bottom block)
-        deferred: list[tuple[str, object]] = []
+        self._deferred = []
+        deferred = self._deferred  # alias — mutated in place, never rebound
 
         for rnd in range(start_round, max_rounds + 1):
             t0 = time.monotonic()
@@ -415,7 +468,7 @@ class CrawlEngine:
                         frontier = fut.result()
                     else:
                         seen = fut.result()
-                deferred = []
+                deferred.clear()
             # cached working sets from earlier rounds have no consumer
             # left once the deferred commits above are durable AND every
             # in-round action ran (metrics/discovery force the round's
@@ -496,9 +549,21 @@ class CrawlEngine:
             # stage as a string passthrough — a measured ~cost paid only
             # by crawls that opt into the column.
             has_redirects = "final_url" in fetched_ok.columns
+            # redirected ⇔ the landed URL differs from the RAW request URL
+            # (specs-crawler.js:144-146 compares result.crawled against the
+            # request URL, NOT its canonicalization — a page whose URL only
+            # changes under canonicalization, e.g. http→https rewrite or an
+            # index.html strip, is NOT a redirect and keeps its cache info).
+            # page_url rides the fetch join only when final_url does; the
+            # url_canon fallback covers external pages tables without it.
+            redirect_base = (
+                F.col("page_url")
+                if "page_url" in fetched_ok.columns
+                else F.col("url_canon")
+            )
             redirected = (
                 F.col("final_url").isNotNull()
-                & (F.col("final_url") != F.col("url_canon"))
+                & (F.col("final_url") != redirect_base)
                 if has_redirects
                 else F.lit(False)
             )
@@ -508,6 +573,16 @@ class CrawlEngine:
                     F.md5(F.col("html").cast("binary"))
                 ),
             )
+            if has_redirects:
+                # bake the verdict into a boolean passthrough (page_url is
+                # a fat string — it must not cross the Arrow stage) and use
+                # it for the post-extraction cache-info NULLing
+                fetched_ok = fetched_ok.withColumn(
+                    "_redirected", F.coalesce(redirected, F.lit(False))
+                )
+                if "page_url" in fetched_ok.columns:
+                    fetched_ok = fetched_ok.drop("page_url")
+                redirected = F.col("_redirected")
             # conditional-recrawl split: pages whose digest matches the
             # fallback crawl's etag bypass extraction entirely (reuse),
             # misses later pull fallback extracts — see __init__ notes
@@ -567,7 +642,7 @@ class CrawlEngine:
             cache_cols = (
                 ["etag"]
                 + (["warc_ts"] if has_ts else [])
-                + (["final_url"] if has_redirects else [])
+                + (["final_url", "_redirected"] if has_redirects else [])
             )
             extracts = (
                 extract_all(
@@ -608,7 +683,7 @@ class CrawlEngine:
                             redirected, F.lit(None).cast("timestamp")
                         ).otherwise(F.col("last_modified")),
                     )
-                    .drop("final_url")
+                    .drop("final_url", "_redirected")
                 )
                 if reused is not None:
                     # reuse requires a non-NULL matching etag → never a

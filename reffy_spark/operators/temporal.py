@@ -17,10 +17,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-# previous skew-safe asof cache, unpersisted on the next call (one live
-# slim cache per pipeline instead of one per invocation) — same
-# lifecycle as frontier._prev_rank_cache / linkgraph._pr_caches
-_prev_asof_cache: DataFrame | None = None
+class _CacheSlot:
+    """One persisted working-set slot PER OPERATOR (not module-global):
+    the skew-safe result returned by an operator references its persisted
+    ``part`` frame three times (local/carries/pairs), so only a NEW call
+    to the SAME operator may evict it — a shared slot would let
+    ``sessionize_skewsafe`` unpersist a pending ``asof_join_skewsafe``
+    plan, whose correctness would then silently depend on
+    repartitionByRange + spark_partition_id recomputing identical slices
+    across its three branches (not guaranteed: the range partitioner
+    samples). Lifecycle contract, documented on both operators: evaluate
+    a skew-safe result before the next call to the SAME operator; same
+    pattern as frontier._prev_rank_cache / linkgraph._pr_caches."""
+
+    def __init__(self) -> None:
+        self._df: DataFrame | None = None
+
+    def swap(self, df: DataFrame) -> None:
+        if self._df is not None:
+            try:
+                self._df.unpersist(blocking=False)
+            except Exception:
+                pass
+        self._df = df
+
+
+_asof_cache = _CacheSlot()
+_sessionize_cache = _CacheSlot()
 
 
 def _asof_union(
@@ -142,13 +165,10 @@ def asof_join_skewsafe(
     part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    global _prev_asof_cache
-    if _prev_asof_cache is not None:
-        try:
-            _prev_asof_cache.unpersist(blocking=False)
-        except Exception:
-            pass
-    _prev_asof_cache = part
+    # per-operator slot: a NEW asof call supersedes the previous asof
+    # result's working set — evaluate a returned plan before calling
+    # asof_join_skewsafe again (see _CacheSlot)
+    _asof_cache.swap(part)
 
     # slice-local running last (hot key split across many tasks)
     w_local = (
@@ -269,13 +289,10 @@ def sessionize_skewsafe(
     part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    global _prev_asof_cache
-    if _prev_asof_cache is not None:
-        try:
-            _prev_asof_cache.unpersist(blocking=False)
-        except Exception:
-            pass
-    _prev_asof_cache = part
+    # per-operator slot: never evicts a pending asof_join_skewsafe plan's
+    # working set — evaluate a returned plan before calling
+    # sessionize_skewsafe again (see _CacheSlot)
+    _sessionize_cache.swap(part)
 
     w_loc = Window.partitionBy("_pid", by).orderBy(ts)
     flagged = part.withColumn("_tus", t_us).withColumn(

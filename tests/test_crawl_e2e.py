@@ -373,3 +373,150 @@ def test_redirect_disables_fallback_reuse(spark):
     assert "Same bytes" in row["title"]
     assert row["crawled"] == "https://moved.test/"
     assert row["etag"] is None
+
+
+def test_redirect_not_confused_by_canonicalization(spark):
+    # specs-crawler.js:144-146 compares result.crawled against the RAW
+    # request URL, not its canonicalization: a page whose URL changes
+    # only under canonicalization (http→https, index.html strip) but
+    # lands exactly where requested is NOT a redirect — cache info must
+    # be kept (the r5 comparison against url_canon misclassified these,
+    # permanently disabling etag reuse for them).
+    raw = "http://rd.test/s3/index.html"  # canon → https://rd.test/s3/
+    pages = spark.createDataFrame(
+        [(raw, b"<html><head><title>Stable</title></head></html>", raw)],
+        "url string, html binary, final_url string",
+    )
+    robots = spark.createDataFrame(
+        [("rd.test", "/", True, 10)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    res = CrawlEngine(
+        spark, pages, robots, modules=["title"], use_bloom=False,
+        collect_metrics=False, discover=False,
+    ).crawl(pages.select("url"), max_rounds=1)
+    row = res.results.collect()[0]
+    assert row["url_canon"] == "https://rd.test/s3/"
+    assert row["crawled"] == raw          # the landed (raw) URL
+    assert row["etag"] is not None        # NOT misclassified as redirect
+    assert row["status"] == "ok"
+
+
+def test_redirect_preserves_fallback_reuse_for_canon_rewrites(spark):
+    # follow-on: an unchanged page behind a canonicalizing URL must still
+    # hit the etag-reuse short-circuit on recrawl
+    raw = "http://rd.test/s4/index.html"
+
+    def mk():
+        return spark.createDataFrame(
+            [(raw, b"<html><head><title>Same</title></head></html>", raw)],
+            "url string, html binary, final_url string",
+        )
+
+    robots = spark.createDataFrame(
+        [("rd.test", "/", True, 10)],
+        "host string, path_prefix string, allow boolean, crawl_delay_ms int",
+    )
+    first = CrawlEngine(
+        spark, mk(), robots, modules=["title"], use_bloom=False,
+        collect_metrics=False, discover=False,
+    ).crawl(mk().select("url"), max_rounds=1)
+    fallback = first.results.withColumn("title", F.lit('"SENTINEL"'))
+    second = CrawlEngine(
+        spark, mk(), robots, modules=["title"], use_bloom=False,
+        collect_metrics=False, discover=False, fallback=fallback,
+    ).crawl(mk().select("url"), max_rounds=1)
+    row = second.results.collect()[0]
+    assert row["from_fallback"] and row["title"] == '"SENTINEL"'
+
+
+def test_commit_pool_retired_after_crawl(spark, corpus):
+    # ADVICE r5: the async-commit pool must not leak its two non-daemon
+    # threads once the round loop exits (normal path)
+    import threading
+
+    pages, seeds, robots = corpus
+    eng = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom=False,
+        collect_metrics=True,
+    )
+    res = eng.crawl(seeds, max_rounds=3)
+    res.results.count()  # consume
+    assert eng._commit_pool is None
+    assert eng._deferred == []
+    live = [
+        t.name for t in threading.enumerate()
+        if t.name.startswith("reffy-state-commit") and t.is_alive()
+    ]
+    assert live == []
+
+
+def test_async_commit_failure_surfaces_and_engine_recovers(spark, corpus):
+    # Crash between an async commit's submit and the next round's join:
+    # the error must surface (not be abandoned in an unobserved future),
+    # the pool must be shut down, and the engine must stay reusable —
+    # a rerun equals the uninterrupted crawl (ephemeral crawls have no
+    # checkpoint, so "resume" == rerun-from-seeds).
+    import threading
+
+    pages, seeds, robots = corpus
+    baseline = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom=False,
+        collect_metrics=False,
+    ).crawl(seeds, max_rounds=3)
+    want = _engine_fetches(baseline)
+
+    eng = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom=False,
+        collect_metrics=False,
+    )
+    orig = eng._materialize
+
+    def boom(df, name, rnd, durable=True):
+        if threading.current_thread().name.startswith("reffy-state-commit"):
+            raise RuntimeError("injected mid-commit crash")
+        return orig(df, name, rnd, durable)
+
+    eng._materialize = boom
+    with pytest.raises(RuntimeError, match="injected mid-commit crash"):
+        eng.crawl(seeds, max_rounds=3)
+    assert eng._commit_pool is None and eng._deferred == []
+
+    eng._materialize = orig
+    rerun = eng.crawl(seeds, max_rounds=3)
+    assert _engine_fetches(rerun) == want
+
+
+def test_resume_after_torn_round_commit(
+    spark, corpus, tmp_path_factory, engine_result
+):
+    # Crash INSIDE a round's commit sequence: round=2's results were
+    # written but the crash hit before its seen/frontier state landed.
+    # resume() must treat round 2 as never-happened (its seen marker is
+    # the commit point), redo it, and end up equal to the uninterrupted
+    # crawl — no lost and no duplicated round.
+    import os
+    import shutil
+
+    pages, seeds, robots = corpus
+    chk = str(tmp_path_factory.mktemp("chk_torn"))
+    CrawlEngine(
+        spark, pages, robots, checkpoint_dir=chk, modules=["links"]
+    ).crawl(seeds, max_rounds=MAX_ROUNDS)
+    # tear round 2's commit: state tables gone, results (written earlier
+    # in the round) remain; later rounds never happened
+    for r in range(2, MAX_ROUNDS + 1):
+        for name in ("seen", "frontier") + (("results",) if r > 2 else ()):
+            p = os.path.join(chk, f"round={r}", name)
+            if os.path.exists(p):
+                shutil.rmtree(p)
+    resumed = CrawlEngine(
+        spark, pages, robots, checkpoint_dir=chk, modules=["links"]
+    ).resume(max_rounds=MAX_ROUNDS)
+    assert _engine_fetches(resumed) == _engine_fetches(engine_result)
+    got = {r["url_canon"]: r["first_round"] for r in resumed.url_seen.collect()}
+    want = {
+        r["url_canon"]: r["first_round"]
+        for r in engine_result.url_seen.collect()
+    }
+    assert got == want

@@ -212,3 +212,33 @@ def test_sessionize_single_sort(spark):
     plan = sessionize(ev)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert plan.count("Sort ") <= 1
+
+
+def test_cross_operator_calls_do_not_evict_pending_working_sets(spark):
+    """ADVICE r5: the skew-safe working-set caches are PER OPERATOR —
+    calling sessionize_skewsafe must not unpersist a pending (returned,
+    not-yet-evaluated) asof_join_skewsafe plan's persisted slices, whose
+    correctness would otherwise ride on the range partitioner resampling
+    identically across the plan's three branches."""
+    from reffy_spark.operators import temporal as T
+
+    left, right = _skewed_asof_world(spark)
+    pending = T.asof_join_skewsafe(left, right, num_parts=8)  # not evaluated
+    asof_part = T._asof_cache._df
+    assert asof_part is not None and asof_part.storageLevel.useMemory
+
+    events = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, m)) for m in range(5)],
+        "user_id long, ts timestamp",
+    )
+    T.sessionize_skewsafe(events, num_parts=4).collect()
+    # the asof working set survived the sessionize call...
+    assert T._asof_cache._df is asof_part
+    assert asof_part.storageLevel.useMemory
+    # ...and the pending plan still evaluates correctly
+    want = sorted(tuple(r) for r in T.asof_join(left, right).collect())
+    assert sorted(tuple(r) for r in pending.collect()) == want
+
+    # a NEW asof call DOES supersede the old asof working set
+    T.asof_join_skewsafe(left, right, num_parts=8)
+    assert T._asof_cache._df is not asof_part
