@@ -1169,13 +1169,23 @@ def q_simhash_pairs(spark, sf_dir):
 
 def q_minhash_pairs_fast(spark, sf_dir):
     """Production-path MinHash (xxhash64 permutations). Same plan shape
-    as minhash_pairs; the hash family is not DuckDB-reproducible, so the
-    driver records a rows-only check for this one — the portable-mode
-    twin above carries the value-hash gate."""
+    as minhash_pairs; the hash family is not DuckDB-reproducible, so this
+    is a BENCH-ONLY perf twin (see BENCH_ONLY below), not a queries()
+    entry — its plan correctness is carried by the oracle-green
+    md5-portable twin ``minhash_pairs`` (r5 VERDICT "Next round" #2:
+    an oracle-less row must not occupy a driver-gate slot)."""
     return D.minhash_dedup_pairs(
         load(spark, sf_dir, "documents"), k=16, n=3, bands=4, threshold=0.8,
         hash_mode="fast",
     )
+
+
+# perf twins timed by bench.py but deliberately OUTSIDE the queries()
+# registry: no oracle can exist for them (engine-specific hash families),
+# and the driver correctness gate should be 100% oracle-backed
+BENCH_ONLY = {
+    "minhash_pairs_fast": q_minhash_pairs_fast,
+}
 
 
 def _oracle_simhash_pairs(max_hamming: int = 16, bits: int = 32, n_bands: int = 4) -> str:
@@ -1207,7 +1217,6 @@ QUERIES.update(
         "idl_members": q_idl_members,
         "quality_filter": q_quality_filter,
         "simhash_pairs": q_simhash_pairs,
-        "minhash_pairs_fast": q_minhash_pairs_fast,
     }
 )
 
@@ -1219,8 +1228,6 @@ ORACLES.update(
         "idl_members": ORACLE_IDL_MEMBERS,
         "quality_filter": ORACLE_QUALITY_FILTER,
         "simhash_pairs": _oracle_simhash_pairs(max_hamming=3),
-        # minhash_pairs_fast: intentionally no oracle (xxhash64 is not
-        # reproducible in DuckDB); rows-only check.
     }
 )
 
@@ -1240,36 +1247,41 @@ ORACLES.update(EXT_ORACLES)
 # ===========================================================================
 # The driver's CORRECTNESS gate samples the FIRST ~50 registry entries in
 # insertion order (r4 evidence: its 50 rows were exactly the first 50
-# keys — every later addition, the whole round-4 operator surface, had no
-# driver row). Order the registry so the newest / least-proven operators
-# always land inside the sample; long-proven classics (driver-green since
-# r1–r3, still checked over the FULL registry by tools/check_oracles.py)
-# sit at the back. Pure reordering — no query is added or removed.
+# keys). The window ROTATES per round so the union of two consecutive
+# CORRECTNESS files covers the whole registry (r5 VERDICT "Next round"
+# #3): round 6's sample = this round's new queries + the 44 queries that
+# fell OUTSIDE round 5's newest-50 window. Pure reordering — no query is
+# added or removed.
+#
+# DEPENDENCY (r5 ADVICE): queries pushed outside the sample are guarded
+# only by the FULL-registry oracle check — `tools/check_oracles.py` (and
+# its pytest wrapper `tests/test_full_oracle_registry.py`, opt-in via
+# RUN_FULL_ORACLES=1) MUST run in the same verification gate as the
+# driver sample whenever this list changes.
 _SAMPLE_FIRST = [
-    "crawl_replay",  # flagship, oracle-backed as of r5
-    # linkgraph / temporal / curation / corpus-quality families (added r4,
-    # never driver-sampled)
-    "pagerank", "host_authority", "budget_apportion",
-    "duplicate_spans", "line_dedup", "pack_sequences",
-    "asof_prior_signup", "asof_skewsafe", "sessionize_events",
-    "sessionize_skewsafe", "session_stats",
-    "pii_scan", "url_filter", "classifier_score",
-    "fallback_reuse", "schema_violations", "idlparsed_ast",
-    "neardup_components", "dedup_canonical", "repetition_profile",
-    "decontaminate", "stratified_sample", "domain_cap", "token_stats",
-    "bigram_novelty", "doc_keywords",
-    "ivf_cells", "ann_topk_ivf", "pq_cells", "ann_topk_pq",
-    "ann_topk_ivfadc",
-    # round-4 reference-parity additions that fell outside the r4 sample
-    "patch_dfns", "cssmerge_full", "idlnames_fragments", "missing_dfns",
-    "idlnames_dfns", "seed_filters", "cache_info", "fetch_fallback",
-    "date_fallback", "css_hiccup", "generator_sniff", "trim_spaces",
-    "politeness_permits_stream",
-    "minhash_pairs_fast",  # rows-only by design (xxhash64)
-    # high-value extraction/post-processing parity surface
-    "extract_dfns", "extract_css", "extract_events", "cssmerge",
+    # --- new in round 6 (never driver-sampled) -------------------------
+    "ann_topk_ivf_trained",  # k-means-trained IVF quantizer (VERDICT #8)
+    # --- flagship: keep driver-checked every round ----------------------
+    "crawl_replay",
+    # --- the 44 queries outside round 5's window ------------------------
+    # crawl/frontier/url kernels (driver-green r4, rotated back in)
+    "url_canon", "urlseen_antijoin", "politeness_rank",
+    "politeness_rank_replay", "backrefs", "events_rollup",
+    "series_latest", "merge_crawls",
+    # extraction + post-processing parity surface
+    "extract_headings", "extract_links", "extract_ids", "extract_refs",
+    "extract_idl", "extract_cddl", "extract_elements",
+    "extract_algorithms", "spec_meta", "multipage_ids", "annotate_links",
+    "events_handlers", "event_extensions", "idlnames", "idl_members",
     "interface_tree", "csscomplete", "idl_dfn_hrefs",
     "events_consolidation", "mixin_expansion",
+    # dedup / similarity / text-quality families
+    "dedup_exact", "minhash_pairs", "ngram_jaccard", "simhash",
+    "simhash_pairs", "text_profile", "lang_rollup", "quality_filter",
+    "knn_brute", "cosine_topk", "ann_topk_lsh", "ann_topk_multiprobe",
+    "embedding_neardup",
+    # TPC-H classics (kept: they gate the scan/agg/join baseline plans)
+    "q1_pricing_summary", "q3_top_revenue", "q5_revenue_by_nation",
 ]
 
 

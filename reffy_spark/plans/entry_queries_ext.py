@@ -2342,6 +2342,92 @@ EXT_ORACLES.update(
 
 
 # ---------------------------------------------------------------------------
+# IVF with a TRAINED quantizer (similarity.ivf_kmeans — VERDICT r5 #8)
+# ---------------------------------------------------------------------------
+# Frozen model metadata: Lloyd's k-means centroids trained ONCE by
+# ``tools/train_ivf.py`` on the sf0.01 embeddings (deterministic first-n
+# init, 5 iterations), rounded to 6 decimals and baked into BOTH sides —
+# the ``ivf_kmeans`` docstring's oracle strategy. Decimal literals parse
+# to identical IEEE doubles in the JVM, Python, and DuckDB, so the
+# assignment/probe cosine math both engines replay sees bit-identical
+# quantizer inputs. A quantizer is valid for ANY dataset (it only shapes
+# cell boundaries), so the same literals serve every sf.
+# trained by tools/train_ivf.py on /root/testdata/sf0.01 (n_centroids=8, n_iters=5)
+_IVF_TRAINED_CENTROIDS = [
+    (0, [-0.002138, 0.00839, 0.043939, -0.085878, 0.006775, -0.016998, -0.021314, 0.007959, 0.047377, -0.016454, -0.017461, 0.01346, -0.024821, -0.020508, -0.030811, -0.000245, 0.060008, 0.043765, 0.025096, 0.034564, -0.058739, 0.027833, -0.015271, -0.019045, -0.000275, 0.06775, 0.087187, -0.005116, -0.012821, 0.063754, -0.039527, 0.054213, 0.000563, -0.031051, 0.010205, -0.050968, -0.015598, 0.030058, 0.024141, 0.001826, 0.013803, -0.004784, 0.010121, 0.012751, 0.015795, 0.042901, 0.0277, -0.03444, -0.00105, -0.035027, 0.000886, 0.032139, 0.004299, -0.050099, 0.019503, 0.024558, -0.004024, 0.002483, -0.085512, -0.01891, -0.018843, 0.042113, 0.042377, -0.030933]),
+    (1, [-0.0142, -0.004604, 0.010017, 0.006098, 0.011416, 0.039928, -0.085175, -0.020756, -0.004475, -0.005635, -0.051919, 0.043891, 0.062484, -0.086365, 0.031233, -0.010368, -0.012268, -0.019073, 0.038653, -0.040422, 0.030113, 0.01757, -0.007269, -0.024989, 0.042316, 0.066802, -0.008027, -0.021845, 0.007398, 0.006366, -0.015413, 0.003804, 0.008651, 0.002365, -0.000935, 0.003062, -0.04996, 0.019397, 0.022992, -0.081791, 0.003235, -0.042759, 0.022873, 0.010151, 0.021688, 0.018588, -0.034687, -0.010977, -0.04824, -0.093621, -0.029534, 0.008367, -0.026833, 0.005235, -0.017922, 0.035619, 0.049931, -0.001685, 0.035557, 0.014438, -0.011675, -0.007681, -0.046435, -0.002885]),
+    (2, [-0.001208, 0.015567, -0.042484, 0.039319, 0.039493, -0.001694, -0.001202, 0.004572, 0.003481, -0.078538, -0.016499, -0.0301, -0.052524, 0.07214, -0.00868, 0.006602, -0.01962, 0.031016, -0.007151, -0.018026, 0.004999, 0.025604, 0.072086, -0.02795, -0.005301, -0.053047, 0.002632, -0.017676, -0.002281, 0.006587, -0.015085, -0.105396, -0.002043, 0.006631, 0.010525, -0.012335, 0.015106, 0.065563, 0.038431, 0.047097, 0.003248, -0.011187, 0.005181, 0.010505, 0.000288, -0.003446, -0.009772, -0.004121, 0.039235, 0.028965, 0.040607, -0.053514, -0.009066, -0.035681, 0.047881, -0.005443, 0.011621, -0.008379, 0.019302, 0.054157, 0.038304, 0.006138, 0.027852, -0.004562]),
+    (3, [-0.024335, -0.000668, -0.023753, -0.023603, -0.033114, 0.012893, 0.032063, 0.01476, -0.006866, -0.003244, 0.006613, 0.04661, 0.019751, 0.083438, 0.031969, 0.00225, -0.034704, -0.054292, 0.00366, 0.021165, 0.010083, -0.005851, -0.011338, 0.021168, -0.007734, 0.031247, -0.020542, -0.00534, -0.062286, -0.027378, -0.021346, 0.004884, 0.072137, -0.013721, 0.025593, -0.012394, 0.02218, -0.042864, -0.050491, -0.032042, -0.01004, -0.039954, -0.088777, -0.03508, 0.009845, 0.001339, -0.020731, -0.041775, 0.055323, -0.041222, 0.029138, -0.015314, 0.017546, 0.025597, -0.041488, -0.025665, -0.007178, -0.010519, 0.038773, -0.048051, 0.034742, 0.021435, -0.007793, -0.061486]),
+    (4, [0.02208, 0.000142, 0.073068, -0.016863, -0.036399, -0.075658, 0.037323, -0.014796, -0.007922, 0.045045, 0.020954, -0.071252, 0.019364, -0.02809, 0.023142, -0.017715, 0.046197, 0.02058, 0.020909, 0.033403, -0.012621, 0.011909, -0.021686, 0.016888, -0.031165, 0.008163, 0.011357, 0.00877, 0.025141, -0.048744, 0.039738, -0.032006, 0.013075, 0.015689, 0.036326, -0.063458, 0.015359, -0.090146, -0.028498, 0.019385, 0.017459, 0.011471, -0.003252, 0.0131, -0.029229, -0.015602, -0.030365, 0.038403, -0.022095, -0.001713, -0.00028, -0.001555, 0.026854, 0.005971, 0.08747, -0.028817, 0.000292, -0.002689, 0.026399, 0.002229, -0.065924, -0.022322, 0.007948, -0.00542]),
+    (5, [-0.022198, -0.011055, 0.019147, 0.007711, 0.06489, -0.008318, -0.054608, 0.080185, -0.027248, 0.012057, 0.021023, -0.006703, 0.01357, 0.017612, -0.024797, 0.013153, -0.012909, -0.045193, -0.027363, 0.025534, 0.005396, -0.029934, 0.024173, -0.010099, 0.02181, 0.045098, -0.030703, 0.004318, 0.003947, 0.015443, 0.017539, -0.012837, -0.000329, -0.001868, -0.018109, 0.046894, 0.003254, 0.059316, -0.018187, 0.025818, -0.044094, 0.040656, 0.008252, 0.029759, -0.092822, -0.051145, 0.014276, -0.0254, -0.018748, 0.027831, 0.041548, 0.027744, 0.007639, 0.027294, -0.038963, -0.076832, 0.046949, -0.04987, -0.005183, -0.009823, -0.002839, 0.028327, -0.024883, 0.023547]),
+    (6, [-0.015308, -0.048798, -0.007323, -0.007092, 0.046797, 0.068395, -0.028482, -0.046096, 0.015062, 0.046045, 0.056222, 0.018715, -0.002911, 0.040073, -0.002856, 0.035834, 0.025086, 0.056853, -0.058993, -0.041688, -0.002271, -0.015095, -0.00323, -0.058188, -0.036171, -0.008786, -0.007072, 0.048071, 0.024306, -0.042594, 0.009443, 0.003869, -0.001973, -0.050228, -0.021408, 0.05182, 0.016847, -0.019193, -0.005519, -0.0031, 0.020805, -0.022934, 0.005059, -0.027195, 0.00244, 0.004736, 0.025667, 0.05341, 0.019919, 0.009087, -0.030323, -0.002667, 0.052273, -0.000887, 0.0222, 0.034321, -0.063476, 0.048989, -0.006831, -0.050731, 0.01899, -0.006085, -0.002441, 0.028298]),
+    (7, [0.083857, 0.016303, -0.035444, 0.033475, -0.038105, 0.02609, -0.0105, 0.044053, -0.032536, -0.017107, 0.02033, 0.003674, -0.064757, -0.070713, -0.019459, 0.009543, -0.017718, 0.020692, 0.019142, 0.004161, -0.016503, -0.00075, -0.00603, 0.046839, 1.6e-05, -0.056903, -0.031061, 0.066478, 0.003102, 0.038301, 0.064557, 0.035451, -0.021998, 0.025309, 0.010703, 0.019548, -0.053055, -0.042093, 0.01595, 0.016332, -0.011793, -0.028916, 0.042455, -0.016197, -0.007359, 0.044807, 0.017538, 0.068102, -0.054238, 0.016521, 0.025352, -0.011466, -0.017495, -0.021186, -0.025776, 0.020114, 0.00667, 0.001463, -0.06758, -0.002612, -0.002449, -0.022037, 0.006512, -0.067168]),
+]
+
+
+def _ivf_trained_cen_sql() -> str:
+    rows = ",\n      ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cvec)}])"
+        for cid, cvec in _IVF_TRAINED_CENTROIDS
+    )
+    return (
+        "cen AS (\n      SELECT * FROM (VALUES\n      "
+        + rows
+        + "\n      ) AS t(cid, cvec)\n    )"
+    )
+
+
+_IVF_TRAINED_ASG_CTE = f"""
+    {_ivf_trained_cen_sql()},
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             {_cos_sql('e.embedding', 'c.cvec')} AS cos
+      FROM embeddings e CROSS JOIN cen c
+    ),
+    asg AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT vec_id, embedding, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cos DESC, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+def q_ann_topk_ivf_trained(spark, sf_dir):
+    """ann_topk_ivf with the k-means-trained quantizer instead of the
+    first-n baseline — exercises ``ivf_kmeans``'s output end-to-end
+    through assignment, cell pruning, and ADC-free flat scoring."""
+    from reffy_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return S.ann_topk_ivf(
+        emb, list(q0), k=10, nprobe=_IVF_NPROBE,
+        centroids=_IVF_TRAINED_CENTROIDS,
+    )
+
+
+ORACLE_ANN_TOPK_IVF_TRAINED = f"""
+    WITH {_IVF_TRAINED_ASG_CTE},
+    probes AS (
+      SELECT cid FROM scored WHERE vec_id = 0
+      ORDER BY cos DESC, cid LIMIT {_IVF_NPROBE}
+    )
+    SELECT a.vec_id, ROUND({_cos_sql('a.embedding', 'q.embedding')}, 6) AS cosine
+    FROM asg a
+    JOIN probes p ON a.cid = p.cid
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+"""
+
+EXT_QUERIES.update({"ann_topk_ivf_trained": q_ann_topk_ivf_trained})
+EXT_ORACLES.update({"ann_topk_ivf_trained": ORACLE_ANN_TOPK_IVF_TRAINED})
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (operators/similarity.py pq_* family)
 # ---------------------------------------------------------------------------
 

@@ -108,3 +108,60 @@ def test_multipage_merge_and_extraction(spark):
     assert "https://s.test/#one" in ids
     assert "https://s.test/page2#two" in ids
     assert "https://s.test/page3#three" in ids
+
+
+def test_seed_idx_distributed_multi_file(spark, tmp_path_factory):
+    """seed_idx over a SHARDED seed list (the webtext shape: many JSON
+    files, each one scan partition under multiLine) must be input order
+    across shards — file order then in-file order — with NO data-sized
+    unpartitioned window in the plan (VERDICT r5 #3: the old
+    row_number-over-monotonic id was a single-task sort)."""
+    import re
+
+    d = tmp_path_factory.mktemp("sharded_seeds")
+    n_files, per_file = 4, 5
+    for fi in range(n_files):
+        recs = []
+        for ri in range(per_file):
+            sn = f"spec-{fi:02d}-{ri}"
+            recs.append({
+                "url": f"https://www.w3.org/TR/{sn}/",
+                "shortname": sn,
+                "seriesComposition": "full",
+                "standing": "good",
+            })
+        with open(d / f"part-{fi:02d}.json", "w") as f:
+            json.dump(recs, f)
+    df = SS.read_seed_list(spark, str(d))
+    assert df.rdd.getNumPartitions() > 1  # genuinely multi-partition scan
+    rows = df.orderBy("seed_idx").collect()
+    assert [r["seed_idx"] for r in rows] == list(range(n_files * per_file))
+    # within a shard the in-file order is preserved
+    by_file = {}
+    for r in rows:
+        fi = r["shortname"].split("-")[1]
+        by_file.setdefault(fi, []).append(r["shortname"])
+    for fi, names in by_file.items():
+        assert names == sorted(names), names
+    # exact equivalence with the r5 single-window numbering (same scan →
+    # same monotonic ids; the contract is row_number(orderBy mono_id)-1)
+    from pyspark.sql import Window
+
+    base = spark.read.schema(SS.SEED_SCHEMA).option("multiLine", "true").json(
+        str(d)
+    )
+    old = base.withColumn(
+        "seed_idx",
+        F.row_number().over(
+            Window.orderBy(F.monotonically_increasing_id())
+        ) - 1,
+    )
+    want = {r["shortname"]: r["seed_idx"] for r in old.collect()}
+    got = {r["shortname"]: r["seed_idx"] for r in rows}
+    assert got == want
+    # plan shape: every window orders by the partition id (the ≤num-parts
+    # offsets table); none consumes the data-sized monotonic id
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\([^)]*\)", plan):
+        assert "_pid" in spec, spec
+    assert "BroadcastExchange" in plan  # offsets ride back as a broadcast
