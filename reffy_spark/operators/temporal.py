@@ -45,6 +45,49 @@ class _CacheSlot:
 _asof_cache = _CacheSlot()
 _sessionize_cache = _CacheSlot()
 
+# skew_safe="auto" routes to the two-phase twins above this estimated
+# input size (Catalyst plan statistics, driver-side, no job). The twins
+# are bit-identical, so the routing is purely a plan choice: below the
+# threshold the direct single-window plan is cheaper (one exchange+sort,
+# no persist/carry machinery); above it, a hot key in the direct plan
+# means one task sorts that key's whole group — the r5 verdict's
+# watch-list item ("the convenient API should be the skew-safe one at
+# scale").
+_SKEW_SAFE_AUTO_BYTES = 256 * 1024 * 1024
+
+
+# Catalyst reports UNKNOWN-size leaves as spark.sql.defaultSizeInBytes,
+# which defaults to Long.MaxValue (so unknown sides never broadcast);
+# anything at or above this cutoff is "no estimate", not "huge"
+_SIZE_UNKNOWN_CUTOFF = 1 << 62
+
+
+def _estimated_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (file sizes for scans,
+    propagated through operators). None when the JVM call fails or the
+    estimate is the unknown-size sentinel (local/python-backed frames) —
+    callers treat unknown as small: file-backed production inputs carry
+    real stats, and the direct plan is still CORRECT for the rest, just
+    not skew-proof (pass skew_safe=True to force)."""
+    try:
+        b = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        return None if b >= _SIZE_UNKNOWN_CUTOFF else b
+    except Exception:
+        return None
+
+
+def _route_skew_safe(skew_safe, *frames: DataFrame) -> bool:
+    if skew_safe == "auto":
+        total = 0
+        for f in frames:
+            b = _estimated_bytes(f)
+            if b is not None:
+                total += b
+        return total > _SKEW_SAFE_AUTO_BYTES
+    return bool(skew_safe)
+
 
 def _asof_union(
     left: DataFrame,
@@ -84,6 +127,7 @@ def asof_join(
     ts: str = "ts",
     value_cols: tuple[str, ...] = ("value",),
     prefix: str = "asof_",
+    skew_safe: "bool | str" = "auto",
 ) -> DataFrame:
     """For each left row, attach the LATEST right row with
     ``right.ts <= left.ts`` in the same ``by`` group (DuckDB
@@ -103,8 +147,14 @@ def asof_join(
     sort-merge as-of every distributed engine uses. The window is
     running (unbounded preceding → current), which Spark evaluates
     streamingly per key — no per-key buffering of the whole group. Hot
-    ``by`` keys are the skew caveat, as for any keyed temporal join.
+    ``by`` keys are the skew caveat — so ``skew_safe`` (default
+    "auto") routes to the bit-identical two-phase
+    ``asof_join_skewsafe`` when the estimated input exceeds
+    ``_SKEW_SAFE_AUTO_BYTES``; pass False to force this direct plan,
+    True to force the two-phase one.
     """
+    if _route_skew_safe(skew_safe, left, right):
+        return asof_join_skewsafe(left, right, by, ts, value_cols, prefix)
     u, lcols = _asof_union(left, right, by, ts, value_cols)
     w = (
         Window.partitionBy(by)
@@ -218,6 +268,7 @@ def sessionize(
     by: str = "user_id",
     ts: str = "ts",
     gap_minutes: int = 30,
+    skew_safe: "bool | str" = "auto",
 ) -> DataFrame:
     """Gap-based sessions: a new session starts when the inter-event gap
     within a ``by`` group exceeds ``gap_minutes``. Adds ``session_idx``
@@ -226,7 +277,13 @@ def sessionize(
     Gap arithmetic is integer microseconds (``unix_micros`` /
     ``epoch_us``) — exact cross-engine. The two windows (lag + running
     sum) share one (by, ts) sort; Spark plans a single exchange+sort.
+    ``skew_safe`` (default "auto") routes to the bit-identical
+    two-phase ``sessionize_skewsafe`` above ``_SKEW_SAFE_AUTO_BYTES``
+    (a hot key would otherwise sort in one task); False forces this
+    direct plan, True forces the two-phase one.
     """
+    if _route_skew_safe(skew_safe, events):
+        return sessionize_skewsafe(events, by, ts, gap_minutes)
     gap_us = gap_minutes * 60 * 1_000_000
     w = Window.partitionBy(by).orderBy(ts)
     # parquet yields TIMESTAMP_NTZ; the session runs UTC (session.py:77)

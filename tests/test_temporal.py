@@ -242,3 +242,80 @@ def test_cross_operator_calls_do_not_evict_pending_working_sets(spark):
     # a NEW asof call DOES supersede the old asof working set
     T.asof_join_skewsafe(left, right, num_parts=8)
     assert T._asof_cache._df is not asof_part
+
+
+def test_skew_safe_auto_routing(spark):
+    """r5 watch-list: the convenient API is skew-proof by default at
+    scale. skew_safe=False keeps the direct single-window plan,
+    True forces the two-phase twin, and "auto" (default) routes by
+    Catalyst's size estimate — all three return identical rows."""
+    from reffy_spark.operators import temporal as T
+
+    left, right = _skewed_asof_world(spark)
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString().lower()
+
+    direct = T.asof_join(left, right, skew_safe=False)
+    assert "rangepartitioning" not in plan_of(direct)
+    forced = T.asof_join(left, right, skew_safe=True)
+    assert "rangepartitioning" in plan_of(forced)
+    # tiny input: auto stays on the direct plan
+    assert "rangepartitioning" not in plan_of(T.asof_join(left, right))
+    want = sorted(tuple(r) for r in direct.collect())
+    assert sorted(tuple(r) for r in forced.collect()) == want
+
+    # auto sizing reads Catalyst plan stats — real estimates exist only
+    # for file-backed frames (local/python frames report the unknown
+    # sentinel and stay on the direct plan); round-trip through parquet
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="asof_auto_")
+    left.write.mode("overwrite").parquet(f"{d}/l")
+    right.write.mode("overwrite").parquet(f"{d}/r")
+    lf, rf = spark.read.parquet(f"{d}/l"), spark.read.parquet(f"{d}/r")
+    assert T._estimated_bytes(lf) not in (None, 0)
+    old = T._SKEW_SAFE_AUTO_BYTES
+    T._SKEW_SAFE_AUTO_BYTES = 1
+    try:
+        routed = T.asof_join(lf, rf)
+        assert "rangepartitioning" in plan_of(routed)
+        assert sorted(tuple(r) for r in routed.collect()) == want
+    finally:
+        T._SKEW_SAFE_AUTO_BYTES = old
+    # unknown-size frames (local relations) stay direct even at threshold 1
+    T._SKEW_SAFE_AUTO_BYTES = 1
+    try:
+        assert "rangepartitioning" not in plan_of(T.asof_join(left, right))
+    finally:
+        T._SKEW_SAFE_AUTO_BYTES = old
+
+
+def test_sessionize_auto_routing(spark):
+    from reffy_spark.operators import temporal as T
+
+    events = spark.createDataFrame(
+        [(i % 7, dt.datetime(2024, 1, 1 + (i % 20), (i * 3) % 24, i % 60))
+         for i in range(400)],
+        "user_id long, ts timestamp",
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString().lower()
+
+    direct = T.sessionize(events, skew_safe=False)
+    assert "rangepartitioning" not in plan_of(direct)
+    want = sorted(tuple(r) for r in direct.collect())
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="sess_auto_")
+    events.write.mode("overwrite").parquet(f"{d}/e")
+    ef = spark.read.parquet(f"{d}/e")
+    old = T._SKEW_SAFE_AUTO_BYTES
+    T._SKEW_SAFE_AUTO_BYTES = 1
+    try:
+        routed = T.sessionize(ef)
+        assert "rangepartitioning" in plan_of(routed)
+        assert sorted(tuple(r) for r in routed.collect()) == want
+    finally:
+        T._SKEW_SAFE_AUTO_BYTES = old
