@@ -114,6 +114,82 @@ ORACLE_URLSEEN = f"""
 """
 
 
+# --- cuckoo-filter URL-seen (operators/cuckoo.py; north-rule's second
+# --- membership structure next to the bloom path) ------------------------
+
+_CK_M = 256  # buckets (power of two); capacity 4 → 1024 slots
+_CK_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def q_cuckoo_table(spark, sf_dir):
+    """Static cuckoo-filter build: deterministic two-pass placement of
+    the seen set's fingerprints; stash rows surface as bucket = -1."""
+    from reffy_spark.operators import cuckoo as C
+
+    urls = q_url_canon(spark, sf_dir)
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url_canon")
+    table, stash = C.cuckoo_table(seen, m=_CK_M, capacity=4)
+    out = table.unionByName(
+        stash.select(
+            F.lit(-1).cast("int").alias("bucket"),
+            C._fp(F.col("url_canon")).alias("fp"),
+        )
+    )
+    return out.select(
+        F.col("bucket").cast("long"), F.col("fp").cast("long")
+    )
+
+
+ORACLE_CUCKOO_TABLE = f"""
+    WITH u AS ({_DOC_URLS_SQL}),
+    seen AS (SELECT DISTINCT url_canon FROM u WHERE doc_id % 3 = 0),
+    k AS (
+      SELECT url_canon,
+             {_CK_H60.format(x="'cfp-' || url_canon")} % 65536 AS fp,
+             {_CK_H60.format(x="'cb1-' || url_canon")} % {_CK_M} AS b1
+      FROM seen
+    ),
+    k2 AS (
+      SELECT *, xor(b1,
+        {_CK_H60.format(x="'cfh-' || fp::VARCHAR")} % {_CK_M}) AS b2
+      FROM k
+    ),
+    r1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY b1 ORDER BY fp, url_canon) AS r
+      FROM k2
+    ),
+    stay AS (SELECT b1 AS bucket, fp FROM r1 WHERE r <= 4),
+    cnt AS (SELECT bucket, COUNT(*) AS n FROM stay GROUP BY 1),
+    mv AS (
+      SELECT r1.*, ROW_NUMBER() OVER (PARTITION BY b2 ORDER BY fp, url_canon) AS r2
+      FROM r1 WHERE r > 4
+    ),
+    p2 AS (
+      SELECT mv.b2 AS bucket, mv.fp, mv.r2,
+             4 - COALESCE(cnt.n, 0) AS free
+      FROM mv LEFT JOIN cnt ON cnt.bucket = mv.b2
+    )
+    SELECT bucket::BIGINT AS bucket, fp::BIGINT AS fp FROM stay
+    UNION ALL
+    SELECT bucket::BIGINT, fp::BIGINT FROM p2 WHERE r2 <= free
+    UNION ALL
+    SELECT -1::BIGINT, fp::BIGINT FROM p2 WHERE r2 > free
+"""
+
+
+def q_urlseen_cuckoo(spark, sf_dir):
+    """EXACTNESS contract: the cuckoo-pruned unseen filter must return
+    byte-identical rows to the plain anti-join — its oracle IS
+    ORACLE_URLSEEN. The filter changes the plan (definite-new rows skip
+    the exact join), never the answer."""
+    from reffy_spark.operators.cuckoo import filter_unseen_cuckoo
+
+    urls = q_url_canon(spark, sf_dir)
+    candidates = urls.select("url_canon")
+    seen = urls.filter(F.col("doc_id") % 3 == 0).select("url_canon")
+    return filter_unseen_cuckoo(candidates, seen, m=_CK_M).distinct()
+
+
 def q_politeness_rank(spark, sf_dir):
     """Per-host politeness budget ranking (W1): ≤budget rows per host."""
     d = load(spark, sf_dir, "documents").select("doc_id")
@@ -925,6 +1001,8 @@ def _oracle_crawl_replay() -> str:
 QUERIES = {
     "url_canon": q_url_canon,
     "urlseen_antijoin": q_urlseen_antijoin,
+    "cuckoo_table": q_cuckoo_table,
+    "urlseen_cuckoo": q_urlseen_cuckoo,
     "politeness_rank": q_politeness_rank,
     "politeness_rank_replay": q_politeness_rank_replay,
     "backrefs": q_backrefs,
@@ -951,6 +1029,10 @@ QUERIES = {
 ORACLES = {
     "url_canon": ORACLE_URL_CANON,
     "urlseen_antijoin": ORACLE_URLSEEN,
+    "cuckoo_table": ORACLE_CUCKOO_TABLE,
+    # urlseen_cuckoo: the EXACTNESS contract — same oracle as the plain
+    # anti-join; the cuckoo filter may only change the plan
+    "urlseen_cuckoo": ORACLE_URLSEEN,
     "politeness_rank": ORACLE_POLITENESS,
     "politeness_rank_replay": ORACLE_POLITENESS_REPLAY,
     "backrefs": ORACLE_BACKREFS,
@@ -1261,6 +1343,7 @@ ORACLES.update(EXT_ORACLES)
 _SAMPLE_FIRST = [
     # --- new in round 6 (never driver-sampled) -------------------------
     "ann_topk_ivf_trained",  # k-means-trained IVF quantizer (VERDICT #8)
+    "cuckoo_table", "urlseen_cuckoo",  # cuckoo-filter URL-seen half
     # --- flagship: keep driver-checked every round ----------------------
     "crawl_replay",
     # --- the 44 queries outside round 5's window ------------------------
