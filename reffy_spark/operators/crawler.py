@@ -151,7 +151,7 @@ class CrawlEngine:
         checkpoint_dir: str | None = None,
         round_ms: int = 2000,
         modules: list[str] | None = None,
-        use_bloom: bool = True,
+        use_bloom: "bool | str" = True,  # True=bloom, "cuckoo", False=exact
         collect_metrics: bool = True,
         discover: bool = True,
         assume_canonical_unique: bool = False,
@@ -753,19 +753,35 @@ class CrawlEngine:
                 if self.use_bloom or self.collect_metrics:
                     cand = self._materialize(cand, "candidates", rnd, durable=False)
 
-                if self.use_bloom:
+                if self.use_bloom == "cuckoo":
+                    # cuckoo-filter membership (operators/cuckoo.py):
+                    # same definite-new short-circuit contract as the
+                    # bloom path; m sized from the carried seen-set
+                    # cardinality for ~0.7 load at capacity 4
+                    import math
+
+                    from reffy_spark.operators.cuckoo import (
+                        filter_unseen_cuckoo,
+                    )
+
                     if seen_count is None:
                         seen_count = seen.count()
-                    bloom = FR.build_bloom(seen, n_items=seen_count)
+                    m = 1 << max(
+                        4, math.ceil(math.log2(max(1.0, seen_count / 2.8)))
+                    )
+                    unseen = filter_unseen_cuckoo(cand, seen, m=m)
                 else:
-                    bloom = None
+                    if self.use_bloom:
+                        if seen_count is None:
+                            seen_count = seen.count()
+                        bloom = FR.build_bloom(seen, n_items=seen_count)
+                    else:
+                        bloom = None
+                    unseen = FR.filter_unseen(cand, seen, bloom=bloom)
                 # new_urls feeds BOTH the frontier merge and the seen-set
                 # update
                 new_urls = self._materialize(
-                    FR.filter_unseen(cand, seen, bloom=bloom),
-                    "new_urls",
-                    rnd,
-                    durable=False,
+                    unseen, "new_urls", rnd, durable=False
                 )
                 if self.use_bloom or self.collect_metrics:
                     n_new = new_urls.count()

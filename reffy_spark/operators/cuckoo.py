@@ -152,24 +152,26 @@ def filter_unseen_cuckoo(
     seen: DataFrame,
     m: int = 1024,
     capacity: int = 4,
-    url_col: str = "url_canon",
+    key: str = "url_canon",
 ) -> DataFrame:
     """EXACT unseen-candidates filter with the cuckoo table as the
     pruning structure: definite-new candidates (no fingerprint hit)
     bypass the exact anti-join entirely; only maybe-hits are re-checked
-    against the real seen set. Same result as a plain anti-join — the
-    oracle for the ``urlseen_cuckoo`` driver query IS the plain
-    anti-join SQL — but at 10^10 URLs the exact join's probe side
-    shrinks to the maybe-hit sliver (seen-hit rate + ~capacity·2/2^16
-    false positives) and the join against the fat seen table prunes to
-    the buckets the sliver touches."""
-    table, stash = cuckoo_table(seen, m, capacity, url_col)
-    cand = candidates.select(F.col(url_col).alias("url_canon"))
-    maybe = cuckoo_maybe_seen(cand, table, stash, m)
-    definite_new = cand.join(maybe, on="url_canon", how="left_anti")
-    rechecked = maybe.join(
-        seen.select(F.col(url_col).alias("url_canon")),
-        on="url_canon",
-        how="left_anti",
+    against the real seen set. Row- and column-preserving, the same
+    contract as ``frontier.filter_unseen`` (bloom split) — same result
+    as a plain anti-join; the oracle for the ``urlseen_cuckoo`` driver
+    query IS the plain anti-join SQL. At 10^10 URLs the exact join's
+    probe side shrinks to the maybe-hit sliver (seen-hit rate +
+    ~capacity·2/2^16 false positives) and the join against the fat
+    seen table prunes to the buckets the sliver touches."""
+    table, stash = cuckoo_table(seen, m, capacity, url_col=key)
+    keys = candidates.select(F.col(key).alias("url_canon")).distinct()
+    maybe = cuckoo_maybe_seen(keys, table, stash, m).withColumnRenamed(
+        "url_canon", key
     )
-    return definite_new.unionByName(rechecked)
+    definite_new = candidates.join(maybe, on=key, how="left_anti")
+    needs_check = candidates.join(maybe, on=key, how="left_semi")
+    confirmed_new = needs_check.join(
+        seen.select(key), on=key, how="left_anti"
+    )
+    return definite_new.unionByName(confirmed_new)

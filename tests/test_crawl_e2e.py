@@ -102,7 +102,9 @@ def test_links_table_matches_generator(engine_result, spark):
     assert checked > 5
 
 
-def test_bloom_and_exact_paths_agree(spark, corpus):
+def test_bloom_cuckoo_and_exact_paths_agree(spark, corpus):
+    # all three URL-seen membership structures (exact anti-join, bloom
+    # split, cuckoo-filter split) must produce identical crawls
     pages, seeds, robots = corpus
     res_b = CrawlEngine(
         spark, pages, robots, modules=["links"], use_bloom=True, collect_metrics=False
@@ -110,10 +112,15 @@ def test_bloom_and_exact_paths_agree(spark, corpus):
     res_e = CrawlEngine(
         spark, pages, robots, modules=["links"], use_bloom=False, collect_metrics=False
     ).crawl(seeds, max_rounds=2)
+    res_c = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom="cuckoo",
+        collect_metrics=False,
+    ).crawl(seeds, max_rounds=2)
     assert _engine_fetches(res_b) == _engine_fetches(res_e)
-    assert sorted(r["url_canon"] for r in res_b.url_seen.collect()) == sorted(
-        r["url_canon"] for r in res_e.url_seen.collect()
-    )
+    assert _engine_fetches(res_c) == _engine_fetches(res_e)
+    seen_e = sorted(r["url_canon"] for r in res_e.url_seen.collect())
+    assert sorted(r["url_canon"] for r in res_b.url_seen.collect()) == seen_e
+    assert sorted(r["url_canon"] for r in res_c.url_seen.collect()) == seen_e
 
 
 def test_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, engine_result):
