@@ -1343,6 +1343,7 @@ ORACLES.update(EXT_ORACLES)
 _SAMPLE_FIRST = [
     # --- new in round 6 (never driver-sampled) -------------------------
     "ann_topk_ivf_trained",  # k-means-trained IVF quantizer (VERDICT #8)
+    "ann_topk_pq_trained", "ann_topk_ivfadc_trained",  # trained PQ family
     "cuckoo_table", "urlseen_cuckoo",  # cuckoo-filter URL-seen half
     # --- flagship: keep driver-checked every round ----------------------
     "crawl_replay",
