@@ -449,6 +449,13 @@ class CrawlEngine:
         # sizing never fires a per-round count() job: one count at loop
         # start, then += the new_urls count already computed for metrics
         seen_count: int | None = None
+        # URL-seen membership structures are ROUND STATE (alongside
+        # frontier/seen), not per-round rebuilds: the bloom bitmap and
+        # the cuckoo table each absorb only new_urls per round and are
+        # rebuilt from seen only at explicit epoch boundaries
+        cuckoo_state = None
+        bloom = None
+        bloom_cap = 0
         self._deferred = []
         deferred = self._deferred  # alias — mutated in place, never rebound
 
@@ -756,25 +763,44 @@ class CrawlEngine:
                 if self.use_bloom == "cuckoo":
                     # cuckoo-filter membership (operators/cuckoo.py):
                     # same definite-new short-circuit contract as the
-                    # bloom path; m sized from the carried seen-set
-                    # cardinality for ~0.7 load at capacity 4
-                    import math
-
+                    # bloom path. INCREMENTAL lifecycle: the state is
+                    # carried across rounds; only this round's new_urls
+                    # are inserted (below, after they're known); the
+                    # full seen set is re-scanned only at epoch
+                    # (re)builds — first use, or an explicit doubling
+                    # rebuild when load exceeds 0.7.
                     from reffy_spark.operators.cuckoo import (
-                        filter_unseen_cuckoo,
+                        CuckooState,
+                        filter_unseen_with_state,
                     )
 
                     if seen_count is None:
                         seen_count = seen.count()
-                    m = 1 << max(
-                        4, math.ceil(math.log2(max(1.0, seen_count / 2.8)))
-                    )
-                    unseen = filter_unseen_cuckoo(cand, seen, m=m)
+                    if cuckoo_state is None or cuckoo_state.needs_rebuild():
+                        cuckoo_state = CuckooState.build(
+                            seen, n_items=seen_count
+                        ).materialized(
+                            lambda df, nm: self._materialize(df, nm, rnd)
+                        )
+                    unseen = filter_unseen_with_state(cand, seen, cuckoo_state)
                 else:
                     if self.use_bloom:
                         if seen_count is None:
                             seen_count = seen.count()
-                        bloom = FR.build_bloom(seen, n_items=seen_count)
+                        if bloom is None or seen_count > bloom_cap:
+                            # epoch (re)build with 2x headroom so steady
+                            # growth is absorbed by incremental folds;
+                            # returns None past BLOOM_MAX_ITEMS → plain
+                            # anti-join from then on (cap=inf stops the
+                            # per-round retry)
+                            bloom = FR.build_bloom(
+                                seen, n_items=seen_count * 2
+                            )
+                            bloom_cap = (
+                                seen_count * 2
+                                if bloom is not None
+                                else float("inf")
+                            )
                     else:
                         bloom = None
                     unseen = FR.filter_unseen(cand, seen, bloom=bloom)
@@ -789,6 +815,19 @@ class CrawlEngine:
                         seen_count += n_new
                 else:
                     n_new = None
+                # grow the membership state by THIS round's new urls only
+                # (the unseen filter guarantees disjointness) — the
+                # filter then covers the post-union seen set exactly, so
+                # next round's probe has no false negatives
+                if n_new:
+                    if self.use_bloom == "cuckoo":
+                        cuckoo_state = cuckoo_state.insert(
+                            new_urls.select("url_canon"), n_new
+                        ).materialized(
+                            lambda df, nm: self._materialize(df, nm, rnd)
+                        )
+                    elif bloom is not None:
+                        FR.fold_bloom(bloom, new_urls, key="url_canon")
             else:
                 cand = None
                 new_urls = None

@@ -147,6 +147,184 @@ def cuckoo_maybe_seen(
     ).distinct()
 
 
+class CuckooState:
+    """Incremental cuckoo filter carried as CRAWL ROUND STATE.
+
+    The static ``cuckoo_table`` build is a two-window ranked shuffle over
+    every seen URL string — fine as a one-time epoch build, a
+    scale-killer if repeated per round (at 10^10 URLs the rebuild dwarfs
+    the round it serves). This class keeps the filter alive across
+    rounds: ``insert`` places ONLY the round's new URLs against
+    per-bucket remaining capacity, never touching the seen set at all
+    (structurally — it has no reference to it). ``m`` is FIXED for the
+    epoch; when load exceeds ``REBUILD_LOAD`` the caller performs an
+    explicit doubling rebuild (``build`` again), which re-scans seen
+    once — amortized O(log n) times over a whole crawl, not O(rounds).
+
+    State tables (all compact ints except the tiny stash):
+    * ``table``  (bucket int, fp int)  — the filter
+    * ``stash``  (url_canon string)    — exact overflow
+    * ``counts`` (bucket int, n long)  — per-bucket occupancy, merged
+      incrementally (ints only; at cluster scale a bucketed upsert).
+
+    Placement of an incremental insert differs from a from-scratch
+    rebuild (insertion order matters, as in any cuckoo filter) — the
+    MEMBERSHIP contract is what's invariant: no false negatives, answer
+    identical to the plain anti-join (``filter_unseen_with_state``'s
+    oracle). Reference contract anchor: fetch-each-URL-at-most-once,
+    /root/reference/src/lib/fetch.js:41-48.
+    """
+
+    REBUILD_LOAD = 0.7
+    # epoch builds size m for ~2x headroom so the very next rounds of a
+    # growing crawl don't immediately trip the doubling rebuild
+    BUILD_LOAD = 0.35
+
+    def __init__(
+        self,
+        table: DataFrame,
+        stash: DataFrame,
+        counts: DataFrame,
+        m: int,
+        capacity: int,
+        n_items: int,
+    ):
+        self.table = table
+        self.stash = stash
+        self.counts = counts
+        self.m = m
+        self.capacity = capacity
+        self.n_items = n_items
+
+    @classmethod
+    def size_m(cls, n_items: int, capacity: int = 4) -> int:
+        """Power-of-two m giving ~BUILD_LOAD load for n_items keys."""
+        import math
+
+        need = max(1.0, n_items / (cls.BUILD_LOAD * capacity))
+        return 1 << max(4, math.ceil(math.log2(need)))
+
+    @classmethod
+    def build(
+        cls,
+        seen: DataFrame,
+        n_items: int,
+        capacity: int = 4,
+        url_col: str = "url_canon",
+        m: int | None = None,
+    ) -> "CuckooState":
+        """Epoch build from the full seen set (the ONLY full-scan path;
+        runs once per epoch, not per round)."""
+        m = cls.size_m(n_items, capacity) if m is None else m
+        table, stash = cuckoo_table(seen, m, capacity, url_col=url_col)
+        counts = table.groupBy("bucket").agg(F.count("*").alias("n"))
+        return cls(table, stash, counts, m, capacity, n_items)
+
+    @property
+    def load(self) -> float:
+        return self.n_items / float(self.m * self.capacity)
+
+    def needs_rebuild(self) -> bool:
+        return self.load > self.REBUILD_LOAD
+
+    def insert(
+        self, new_keys: DataFrame, n_new: int, url_col: str = "url_canon"
+    ) -> "CuckooState":
+        """Place ONLY ``new_keys`` (must be disjoint from the already-
+        inserted set, which the crawl's unseen filter guarantees) and
+        return the grown state. Touches: the new keys, the int-only
+        counts table, and appends — never the seen set (no parameter for
+        it). Windows partition by BUCKET (≤ per-round keys per bucket,
+        never data-sized)."""
+        cap = self.capacity
+        k = _keyed(new_keys, self.m, url_col)
+        occ1 = self.counts.select(
+            F.col("bucket").alias("_b1"), F.col("n").alias("_n1")
+        )
+        w1 = Window.partitionBy("_b1").orderBy("fp", "url_canon")
+        r1 = (
+            k.withColumn("_r", F.row_number().over(w1))
+            .join(occ1, on="_b1", how="left")
+            .withColumn(
+                "_free1", F.lit(cap) - F.coalesce(F.col("_n1"), F.lit(0))
+            )
+        )
+        stay1 = r1.filter(F.col("_r") <= F.col("_free1")).select(
+            F.col("_b1").alias("bucket"), "fp"
+        )
+        movers = r1.filter(F.col("_r") > F.col("_free1"))
+        inc1 = stay1.groupBy("bucket").agg(F.count("*").alias("_p2"))
+        occ2 = self.counts.select(
+            F.col("bucket").alias("_b2"), F.col("n").alias("_n2")
+        )
+        w2 = Window.partitionBy("_b2").orderBy("fp", "url_canon")
+        m2 = (
+            movers.withColumn("_r2", F.row_number().over(w2))
+            .join(occ2, on="_b2", how="left")
+            .join(inc1.withColumnRenamed("bucket", "_b2"), on="_b2", how="left")
+            .withColumn(
+                "_free2",
+                F.lit(cap)
+                - F.coalesce(F.col("_n2"), F.lit(0))
+                - F.coalesce(F.col("_p2"), F.lit(0)),
+            )
+        )
+        placed2 = m2.filter(F.col("_r2") <= F.col("_free2")).select(
+            F.col("_b2").alias("bucket"), "fp"
+        )
+        new_stash = m2.filter(F.col("_r2") > F.col("_free2")).select("url_canon")
+        placed = stay1.unionByName(placed2)
+        counts = (
+            self.counts.unionByName(
+                placed.groupBy("bucket").agg(F.count("*").alias("n"))
+            )
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        return CuckooState(
+            self.table.unionByName(placed),
+            self.stash.unionByName(new_stash),
+            counts,
+            self.m,
+            cap,
+            self.n_items + n_new,
+        )
+
+    def maybe_seen(self, candidates: DataFrame, url_col: str = "url_canon") -> DataFrame:
+        return cuckoo_maybe_seen(candidates, self.table, self.stash, self.m, url_col)
+
+    def materialized(self, fn) -> "CuckooState":
+        """Commit the three state tables through the engine's
+        round-state materializer (lineage truncation / durability — the
+        same boundary frontier and seen cross). ``fn(df, name)``."""
+        return CuckooState(
+            fn(self.table, "cuckoo_table"),
+            fn(self.stash, "cuckoo_stash"),
+            fn(self.counts, "cuckoo_counts"),
+            self.m,
+            self.capacity,
+            self.n_items,
+        )
+
+
+def filter_unseen_with_state(
+    candidates: DataFrame,
+    seen: DataFrame,
+    state: CuckooState,
+    key: str = "url_canon",
+) -> DataFrame:
+    """EXACT unseen filter pruned by a live ``CuckooState`` — same
+    answer contract as ``filter_unseen_cuckoo`` but the filter is NOT
+    rebuilt: the state must already cover exactly ``seen``. ``seen`` is
+    consulted only to confirm the maybe-hit sliver."""
+    keys = candidates.select(F.col(key).alias("url_canon")).distinct()
+    maybe = state.maybe_seen(keys).withColumnRenamed("url_canon", key)
+    definite_new = candidates.join(maybe, on=key, how="left_anti")
+    needs_check = candidates.join(maybe, on=key, how="left_semi")
+    confirmed_new = needs_check.join(seen.select(key), on=key, how="left_anti")
+    return definite_new.unionByName(confirmed_new)
+
+
 def filter_unseen_cuckoo(
     candidates: DataFrame,
     seen: DataFrame,

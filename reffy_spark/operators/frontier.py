@@ -64,6 +64,7 @@ class Bloom:
         self.m = max(64, m)
         self.k = max(1, round(self.m / n_items * math.log(2)))
         self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+        self.n_capacity = n_items  # items this bitmap was sized for
 
     def _positions(self, h: np.ndarray) -> np.ndarray:
         # double hashing: g_i = h1 + i*h2 mod m  (h is int64 xxhash64)
@@ -111,10 +112,25 @@ def build_bloom(
     if n > BLOOM_MAX_ITEMS or n == 0:
         return None
     proto = Bloom(n, fpp)
-    m, k = proto.m, proto.k
+    proto.n_capacity = n  # sized-for item count: fold incrementally up
+    # to this; past it the caller performs an explicit epoch rebuild
+    return fold_bloom(proto, seen, key)
+
+
+def fold_bloom(bloom: Bloom, df: DataFrame, key: str = "url_canon") -> Bloom:
+    """OR ``df``'s keys into an existing bloom IN PLACE, distributed:
+    per-partition bitmaps (Arrow-batched, numpy-vectorized), executor-
+    side treeReduce OR-merge, one final OR on the driver.
+
+    This is the INCREMENTAL half of the bloom lifecycle: per crawl
+    round only the round's new_urls are folded; the full seen set is
+    scanned only at epoch (re)builds (``build_bloom``), so the filter's
+    per-round cost tracks the round's discoveries, not the accumulated
+    seen-set size."""
+    m, k = bloom.m, bloom.k
 
     def part_bloom(batches):
-        b = Bloom(16, fpp)
+        b = Bloom(16)
         b.m, b.k = m, k
         b.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
         for pdf in batches:
@@ -122,7 +138,7 @@ def build_bloom(
                 b.add_hashes(pdf["h"].to_numpy())
         yield pd.DataFrame({"bits": [b.bits.tobytes()]})
 
-    bitmaps = seen.select(F.xxhash64(key).alias("h")).mapInPandas(
+    bitmaps = df.select(F.xxhash64(key).alias("h")).mapInPandas(
         part_bloom, "bits binary"
     )
     merged = bitmaps.rdd.map(lambda r: bytes(r.bits)).treeReduce(
@@ -131,8 +147,8 @@ def build_bloom(
         ).tobytes(),
         depth=2,
     )
-    proto.bits = np.frombuffer(merged, dtype=np.uint64).copy()
-    return proto
+    bloom.bits |= np.frombuffer(merged, dtype=np.uint64)
+    return bloom
 
 
 def filter_unseen(

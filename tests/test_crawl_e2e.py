@@ -527,3 +527,62 @@ def test_resume_after_torn_round_commit(
         for r in engine_result.url_seen.collect()
     }
     assert got == want
+
+
+def test_seen_filter_built_once_not_per_round(spark, corpus, monkeypatch):
+    """Incremental URL-seen lifecycle: across a multi-round discovery
+    crawl whose seen set stays under the epoch-rebuild threshold, the
+    full-scan builds (static cuckoo table / bloom fold over seen) run
+    exactly ONCE — round N+1 inserts only new_urls, never re-scanning
+    the seen set. (Growth past 2x triggers an explicit doubling rebuild,
+    covered in test_cuckoo.test_epoch_rebuild_doubles_m.)"""
+    pages, _seeds, robots = corpus
+    # seed most of the graph so seen grows < 2x (no doubling epoch)
+    big_seeds = syn.gen_seeds(spark, N_PAGES, 40)
+
+    from reffy_spark.operators import cuckoo as CK
+    from reffy_spark.operators import frontier as FR
+
+    calls = {"cuckoo_table": 0, "build_bloom": 0, "fold_bloom": 0}
+    real_ct, real_bb, real_fb = CK.cuckoo_table, FR.build_bloom, FR.fold_bloom
+
+    def ct(*a, **k):
+        calls["cuckoo_table"] += 1
+        return real_ct(*a, **k)
+
+    def bb(*a, **k):
+        calls["build_bloom"] += 1
+        return real_bb(*a, **k)
+
+    def fb(*a, **k):
+        calls["fold_bloom"] += 1
+        return real_fb(*a, **k)
+
+    monkeypatch.setattr(CK, "cuckoo_table", ct)
+    monkeypatch.setattr(FR, "build_bloom", bb)
+    monkeypatch.setattr(FR, "fold_bloom", fb)
+
+    res_c = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom="cuckoo",
+        collect_metrics=False,
+    ).crawl(big_seeds, max_rounds=3)
+    n_c = res_c.url_seen.count()
+    assert calls["cuckoo_table"] == 1, calls
+
+    res_b = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom=True,
+        collect_metrics=False,
+    ).crawl(big_seeds, max_rounds=3)
+    # build_bloom itself calls fold_bloom once; every later fold is an
+    # incremental new_urls fold, never a rebuild
+    assert calls["build_bloom"] == 1, calls
+    assert calls["fold_bloom"] >= 1
+    assert res_b.url_seen.count() == n_c
+
+    res_e = CrawlEngine(
+        spark, pages, robots, modules=["links"], use_bloom=False,
+        collect_metrics=False,
+    ).crawl(big_seeds, max_rounds=3)
+    assert res_e.url_seen.count() == n_c
+    assert _engine_fetches(res_c) == _engine_fetches(res_e)
+    assert _engine_fetches(res_b) == _engine_fetches(res_e)
