@@ -159,6 +159,7 @@ class CrawlEngine:
         broadcast_batch: bool = True,
         reliable_state: bool | str = "auto",
         fallback: DataFrame | None = None,
+        seen_capacity_hint: int | None = None,
     ):
         # discover=False is pure seed-list replay — the reference's own
         # semantics (crawlList maps over the fixed list exactly once and
@@ -191,6 +192,13 @@ class CrawlEngine:
         # frontier; the replay corpus derives seeds 1:1 from a pages
         # table already unique on url_canon)
         self.assume_seeds_unique = assume_seeds_unique
+        # Expected total seen-set size for the whole crawl (the crawl
+        # budget). Sizes the URL-seen membership structures' epoch
+        # builds so a discovery crawl is absorbed by ONE epoch; without
+        # it, epochs are sized 2x the current count and explosive
+        # discovery growth triggers doubling rebuilds. The cuckoo table
+        # stores only occupied slots, so over-sizing m is free.
+        self.seen_capacity_hint = seen_capacity_hint
         # Canonicalize the pages table once. Canonical keys must be unique
         # for the fetch join: distinct raw URLs can collapse to one
         # canonical URL (e.g. whatwg multipage → root); keep the freshest
@@ -777,8 +785,13 @@ class CrawlEngine:
                     if seen_count is None:
                         seen_count = seen.count()
                     if cuckoo_state is None or cuckoo_state.needs_rebuild():
+                        target = max(
+                            seen_count * 2, self.seen_capacity_hint or 0
+                        )
                         cuckoo_state = CuckooState.build(
-                            seen, n_items=seen_count
+                            seen,
+                            n_items=seen_count,
+                            m=CuckooState.size_m(target),
                         ).materialized(
                             lambda df, nm: self._materialize(df, nm, rnd)
                         )
@@ -793,13 +806,12 @@ class CrawlEngine:
                             # returns None past BLOOM_MAX_ITEMS → plain
                             # anti-join from then on (cap=inf stops the
                             # per-round retry)
-                            bloom = FR.build_bloom(
-                                seen, n_items=seen_count * 2
+                            cap_t = max(
+                                seen_count * 2, self.seen_capacity_hint or 0
                             )
+                            bloom = FR.build_bloom(seen, n_items=cap_t)
                             bloom_cap = (
-                                seen_count * 2
-                                if bloom is not None
-                                else float("inf")
+                                cap_t if bloom is not None else float("inf")
                             )
                     else:
                         bloom = None

@@ -161,11 +161,18 @@ class CuckooState:
     explicit doubling rebuild (``build`` again), which re-scans seen
     once — amortized O(log n) times over a whole crawl, not O(rounds).
 
-    State tables (all compact ints except the tiny stash):
-    * ``table``  (bucket int, fp int)  — the filter
-    * ``stash``  (url_canon string)    — exact overflow
-    * ``counts`` (bucket int, n long)  — per-bucket occupancy, merged
-      incrementally (ints only; at cluster scale a bucketed upsert).
+    The table is stored as DELTA PARTS: the epoch build plus one small
+    (bucket int, fp int) frame per insert — committing a round's state
+    copies only that round's placements, never the accumulated table
+    (``materialized`` touches the newest part only). Parts are compacted
+    into one frame every ``COMPACT_EVERY`` inserts to bound plan depth.
+    Because only occupied slots are stored, an oversized ``m`` costs no
+    memory — size epochs for the CRAWL BUDGET (``capacity_hint``), not
+    the current count, and the doubling rebuild becomes a safety valve
+    instead of a steady-state event. Per-bucket occupancy during insert
+    comes from a broadcast semi-join of the ≤2·|new| touched buckets
+    against the int-only table (partition-pruned when the table is
+    written bucketed by ``bucket`` at cluster scale).
 
     Placement of an incremental insert differs from a from-scratch
     rebuild (insertion order matters, as in any cuckoo filter) — the
@@ -176,25 +183,39 @@ class CuckooState:
     """
 
     REBUILD_LOAD = 0.7
-    # epoch builds size m for ~2x headroom so the very next rounds of a
-    # growing crawl don't immediately trip the doubling rebuild
+    # epoch builds size m for ~0.35 load so modest growth never trips
+    # the doubling rebuild; discovery crawls should pass a crawl-budget
+    # capacity hint instead of relying on this 2x headroom
     BUILD_LOAD = 0.35
+    COMPACT_EVERY = 16
 
     def __init__(
         self,
-        table: DataFrame,
-        stash: DataFrame,
-        counts: DataFrame,
+        parts: list[DataFrame],
+        stash_parts: list[DataFrame],
         m: int,
         capacity: int,
         n_items: int,
     ):
-        self.table = table
-        self.stash = stash
-        self.counts = counts
+        self.parts = parts
+        self.stash_parts = stash_parts
         self.m = m
         self.capacity = capacity
         self.n_items = n_items
+
+    @property
+    def table(self) -> DataFrame:
+        t = self.parts[0]
+        for p in self.parts[1:]:
+            t = t.unionByName(p)
+        return t
+
+    @property
+    def stash(self) -> DataFrame:
+        s = self.stash_parts[0]
+        for p in self.stash_parts[1:]:
+            s = s.unionByName(p)
+        return s
 
     @classmethod
     def size_m(cls, n_items: int, capacity: int = 4) -> int:
@@ -214,11 +235,12 @@ class CuckooState:
         m: int | None = None,
     ) -> "CuckooState":
         """Epoch build from the full seen set (the ONLY full-scan path;
-        runs once per epoch, not per round)."""
+        runs once per epoch, not per round). Size via ``m`` or the
+        implicit BUILD_LOAD sizing; pass ``m=size_m(crawl_budget)`` to
+        absorb a whole discovery crawl in one epoch."""
         m = cls.size_m(n_items, capacity) if m is None else m
         table, stash = cuckoo_table(seen, m, capacity, url_col=url_col)
-        counts = table.groupBy("bucket").agg(F.count("*").alias("n"))
-        return cls(table, stash, counts, m, capacity, n_items)
+        return cls([table], [stash], m, capacity, n_items)
 
     @property
     def load(self) -> float:
@@ -232,15 +254,24 @@ class CuckooState:
     ) -> "CuckooState":
         """Place ONLY ``new_keys`` (must be disjoint from the already-
         inserted set, which the crawl's unseen filter guarantees) and
-        return the grown state. Touches: the new keys, the int-only
-        counts table, and appends — never the seen set (no parameter for
-        it). Windows partition by BUCKET (≤ per-round keys per bucket,
-        never data-sized)."""
+        return the grown state. Touches: the new keys, the occupancy of
+        the ≤2·|new| buckets they hash to, and appends — never the seen
+        set (no parameter for it). Windows partition by BUCKET (≤
+        per-round keys per bucket, never data-sized)."""
         cap = self.capacity
         k = _keyed(new_keys, self.m, url_col)
-        occ1 = self.counts.select(
-            F.col("bucket").alias("_b1"), F.col("n").alias("_n1")
+        table = self.table
+        touched = (
+            k.select(F.col("_b1").alias("bucket"))
+            .unionByName(k.select(F.col("_b2").alias("bucket")))
+            .distinct()
         )
+        occ = (
+            table.join(F.broadcast(touched), on="bucket", how="left_semi")
+            .groupBy("bucket")
+            .agg(F.count("*").alias("_n"))
+        )
+        occ1 = occ.select(F.col("bucket").alias("_b1"), F.col("_n").alias("_n1"))
         w1 = Window.partitionBy("_b1").orderBy("fp", "url_canon")
         r1 = (
             k.withColumn("_r", F.row_number().over(w1))
@@ -254,9 +285,7 @@ class CuckooState:
         )
         movers = r1.filter(F.col("_r") > F.col("_free1"))
         inc1 = stay1.groupBy("bucket").agg(F.count("*").alias("_p2"))
-        occ2 = self.counts.select(
-            F.col("bucket").alias("_b2"), F.col("n").alias("_n2")
-        )
+        occ2 = occ.select(F.col("bucket").alias("_b2"), F.col("_n").alias("_n2"))
         w2 = Window.partitionBy("_b2").orderBy("fp", "url_canon")
         m2 = (
             movers.withColumn("_r2", F.row_number().over(w2))
@@ -274,17 +303,9 @@ class CuckooState:
         )
         new_stash = m2.filter(F.col("_r2") > F.col("_free2")).select("url_canon")
         placed = stay1.unionByName(placed2)
-        counts = (
-            self.counts.unionByName(
-                placed.groupBy("bucket").agg(F.count("*").alias("n"))
-            )
-            .groupBy("bucket")
-            .agg(F.sum("n").alias("n"))
-        )
         return CuckooState(
-            self.table.unionByName(placed),
-            self.stash.unionByName(new_stash),
-            counts,
+            self.parts + [placed],
+            self.stash_parts + [new_stash],
             self.m,
             cap,
             self.n_items + n_new,
@@ -294,16 +315,22 @@ class CuckooState:
         return cuckoo_maybe_seen(candidates, self.table, self.stash, self.m, url_col)
 
     def materialized(self, fn) -> "CuckooState":
-        """Commit the three state tables through the engine's
-        round-state materializer (lineage truncation / durability — the
-        same boundary frontier and seen cross). ``fn(df, name)``."""
+        """Commit through the engine's round-state materializer (lineage
+        truncation / durability — the same boundary frontier and seen
+        cross), touching ONLY the newest delta part: the per-round
+        commit copies this round's placements, not the accumulated
+        table. Every COMPACT_EVERY parts the union is compacted into one
+        frame (one amortized table-sized int copy). ``fn(df, name)``."""
+        parts = list(self.parts)
+        stash_parts = list(self.stash_parts)
+        if len(parts) >= self.COMPACT_EVERY:
+            parts = [fn(self.table, "cuckoo_table")]
+            stash_parts = [fn(self.stash, "cuckoo_stash")]
+        else:
+            parts[-1] = fn(parts[-1], "cuckoo_delta")
+            stash_parts[-1] = fn(stash_parts[-1], "cuckoo_stash_delta")
         return CuckooState(
-            fn(self.table, "cuckoo_table"),
-            fn(self.stash, "cuckoo_stash"),
-            fn(self.counts, "cuckoo_counts"),
-            self.m,
-            self.capacity,
-            self.n_items,
+            parts, stash_parts, self.m, self.capacity, self.n_items
         )
 
 

@@ -98,9 +98,6 @@ def test_incremental_insert_membership_and_capacity(spark):
         ).collect()
     }
     assert max(per_bucket.values()) <= 4
-    # counts state tracks the table exactly
-    counted = {r["bucket"]: r["n"] for r in st.counts.collect()}
-    assert counted == per_bucket
     # everything placed or stashed, nothing lost
     assert st.table.count() + st.stash.count() == 270
     assert st.n_items == 270
@@ -132,9 +129,8 @@ def test_insert_plan_touches_only_new_keys_and_counts(spark):
     st = C.CuckooState.build(base, n_items=100)
     # force the build NOW so the poison below can't be reached by it
     st = C.CuckooState(
-        st.table.localCheckpoint(),
-        st.stash.localCheckpoint(),
-        st.counts.localCheckpoint(),
+        [st.table.localCheckpoint()],
+        [st.stash.localCheckpoint()],
         st.m,
         st.capacity,
         st.n_items,
@@ -174,3 +170,28 @@ def test_insert_is_deterministic(spark):
         map(tuple, b.table.collect())
     )
     assert sorted(a.stash.collect()) == sorted(b.stash.collect())
+
+
+def test_materialize_commits_delta_only_then_compacts(spark):
+    """Per-round commit touches only the round's delta part; the union
+    is compacted into one frame every COMPACT_EVERY parts (bounded plan
+    depth without a per-round full-table copy)."""
+    st = C.CuckooState.build(_urls(spark, 50), n_items=50, m=2048)
+    names = []
+
+    def fn(df, nm):
+        names.append(nm)
+        return df.localCheckpoint()
+
+    n_ins = C.CuckooState.COMPACT_EVERY
+    for i in range(n_ins):
+        st = st.insert(_urls(spark, 5, tag=f"t{i}"), 5).materialized(fn)
+    assert "cuckoo_delta" in names and "cuckoo_table" in names
+    # compaction fired when parts hit COMPACT_EVERY (insert 15), leaving
+    # one compacted frame plus the single delta committed since
+    assert len(st.parts) == 2
+    assert st.n_items == 50 + 5 * n_ins
+    every = _urls(spark, 50)
+    for i in range(n_ins):
+        every = every.unionByName(_urls(spark, 5, tag=f"t{i}"))
+    assert st.maybe_seen(every).count() == 50 + 5 * n_ins

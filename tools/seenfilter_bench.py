@@ -47,6 +47,8 @@ def main() -> None:
         eng = CrawlEngine(
             spark, pages, robots, modules=["links"], use_bloom=mode,
             collect_metrics=False, discover=True, round_ms=1_000_000_000,
+            # a crawl knows its budget: one epoch build absorbs the run
+            seen_capacity_hint=N_PAGES,
         )
         t0 = time.monotonic()
         res = eng.crawl(seeds, max_rounds=ROUNDS)
