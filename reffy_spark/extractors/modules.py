@@ -414,8 +414,56 @@ VALID_DFN_TYPES = frozenset(
 _FOR_SPLIT_RE = re.compile(r",(?![^(]*\))")
 
 
+# Simple grouping-content and text-level-semantics elements kept in a
+# textual definition (extract-dfns.mjs:143-150); anything else is removed
+# with its subtree.
+_PROSE_KEEP_TAGS = frozenset(
+    """blockquote dd div dl dt figcaption figure hr li ol p pre ul
+    a abbr b bdi bdo br cite code data dfn em i kbd mark q rp rt ruby s
+    samp small span strong sub sup time u var wbr""".split()
+)
+
+
+def _html_prose_definition(prose_el: Element, ctx) -> str:
+    """getHtmlProseDefinition (extract-dfns.mjs:138-176): cloneAndClean
+    (drop informative subtrees; comments never enter our tree), keep only
+    simple grouping/text-level elements, drop all attributes except
+    href (absolutized against the page URL), dir, lang and title;
+    innerHTML, trimmed."""
+    page_el = prose_el.closest("[data-reffy-page]")
+    base = page_el.get("data-reffy-page") if page_el is not None else ctx.url
+    out: list[str] = []
+
+    def ser(node):
+        if isinstance(node, str):
+            out.append(_escape_text(node))
+            return
+        if node.matches(INFORMATIVE_SELECTOR):  # cloneAndClean
+            return
+        if node.tag not in _PROSE_KEEP_TAGS:  # el.remove(), subtree too
+            return
+        parts = [f"<{node.tag}"]
+        for k, v in node.attrs.items():
+            if k == "href":
+                v = _algo_abs_url(v, base)
+            elif k not in ("dir", "lang", "title"):
+                continue
+            parts.append(f' {k}="{_escape_attr(v)}"')
+        parts.append(">")
+        out.append("".join(parts))
+        if node.tag not in _VOID_ELEMENTS:
+            for c in node.children:
+                ser(c)
+            out.append(f"</{node.tag}>")
+
+    for c in prose_el.children:
+        ser(c)
+    return "".join(out).strip()
+
+
 def _definition_mapper(el: Element, ctx, uses_dfn_data_model: bool) -> dict:
-    """extract-dfns.mjs:178-299 (definitionMapper), minus htmlProse."""
+    """extract-dfns.mjs:178-299 (definitionMapper), including the
+    [data-defines] htmlProse join (mjs:290-295)."""
     defined_in = "prose"
     enclosing = el.closest("dt,pre,table,h1,h2,h3,h4,h5,h6,.note,.example") or el
     if enclosing.tag in ("dt", "pre", "table"):
@@ -506,6 +554,15 @@ def extract_dfns(ctx) -> list[dict]:
         for el in candidates
     )
 
+    # document.querySelector('[data-defines="#id"]') lookup table: first
+    # matching prose element per target, in document order
+    # (extract-dfns.mjs:290)
+    prose_map: dict[str, Element] = {}
+    for pel in sorted(ctx.root.query_all("[data-defines]"), key=lambda e: e.pos):
+        target = pel.get("data-defines")
+        if target and target not in prose_map:
+            prose_map[target] = pel
+
     definitions: list[dict] = []
     for el in candidates:
         # autofix ReSpec's invalid "idl" dfn type for internal slots
@@ -534,6 +591,13 @@ def extract_dfns(ctx) -> list[dict]:
             ):
                 continue
         dfn = _definition_mapper(el, ctx, uses_dfn_data_model)
+        # textual-definition join (extract-dfns.mjs:290-295); key order
+        # matches the reference (set after construction, so after links)
+        prose_el = prose_map.get(f"#{dfn['id']}")
+        if prose_el is not None:
+            html_prose = _html_prose_definition(prose_el, ctx)
+            if html_prose:
+                dfn["htmlProse"] = html_prose
         # first-wins dedupe (A6, extract-dfns.mjs:122-134)
         dup = any(
             d["access"] == "public"

@@ -77,6 +77,11 @@ def _dfn_pages(spark, sf_dir) -> DataFrame:
         # J4 dev anchor pointing at term-{i}
         '<dl class="domintro"><dt><a id="dev-', i, '" href="#term-', i, '">m', i,
         "()</a></dt></dl>",
+        # htmlProse prose element for term-{i} (extract-dfns.mjs:290-295):
+        # keeps code/a, absolutizes href, drops the aside annotation
+        '<p data-defines="#term-', i, '">The <code>term ', i,
+        '</code> does <a href="#sec-', i, '">things</a>.',
+        "<aside>ignored</aside></p>",
     )
     url = _cat("https://dfn.test/d", i, "/")
     return d.select("doc_id", url.alias("url"), html.alias("html"))
@@ -100,6 +105,7 @@ def q_extract_dfns(spark, sf_dir):
         F.size(F.coalesce("links", F.array().cast(
             "array<struct<type:string,id:string,name:string,href:string>>"
         ))).alias("n_links"),
+        F.coalesce("htmlProse", F.lit("")).alias("html_prose"),
     )
 
 
@@ -111,18 +117,20 @@ ORACLE_EXTRACT_DFNS = """
            'term ' || doc_id AS linking, 'dfn' AS type, '' AS for_csv,
            'public' AS access, 'prose' AS definedIn,
            'sec-' || doc_id AS heading_id, '1' AS heading_number,
-           1 AS n_links
+           1 AS n_links,
+           'The <code>term ' || doc_id || '</code> does <a href="' || url
+             || '#sec-' || doc_id || '">things</a>.' AS html_prose
     FROM base
     UNION ALL
     SELECT url, 'iface-' || doc_id, url || '#iface-' || doc_id,
            'Alias' || doc_id || '|A' || doc_id, 'interface',
            'Ctx' || (doc_id % 3), 'public', 'prose',
-           'sec-' || doc_id, '1', 0
+           'sec-' || doc_id, '1', 0, ''
     FROM base
     UNION ALL
     SELECT url, 'priv-' || doc_id, url || '#priv-' || doc_id,
            'hidden ' || doc_id, 'dfn', '', 'private', 'prose',
-           'sec-' || doc_id, '1', 0
+           'sec-' || doc_id, '1', 0, ''
     FROM base WHERE doc_id % 4 = 0
 """
 

@@ -23,7 +23,8 @@ DFN_SCHEMA = (
     "access:string, informative:boolean, "
     "heading:struct<id:string, href:string, title:string, number:string>, "
     "definedIn:string, "
-    "links:array<struct<type:string, id:string, name:string, href:string>>>>"
+    "links:array<struct<type:string, id:string, name:string, href:string>>, "
+    "htmlProse:string>>"
 )
 
 REF_SCHEMA = (

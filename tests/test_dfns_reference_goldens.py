@@ -73,6 +73,90 @@ CASES = [
     ("fixes internal-method dfns with invalid 'idl' type (method)",
      "<dfn id=foo data-dfn-type=idl>Foo()</dfn>",
      [{"linkingText": ["Foo()"], "type": "method", "access": "public"}]),
+    # htmlProse cases (extract-dfns.js:680-795)
+    ("extracts the prose that defines a term",
+     "<p data-defines='#foo'>\n"
+     "      <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> enters a bar.\n"
+     "    </p>",
+     [{"htmlProse": "<dfn>Foo</dfn> enters a bar."}]),
+    ("keeps basic structure for the prose that defines a term",
+     "<div data-defines='#foo'>\n"
+     "      <p><dfn id='foo' data-dfn-type='dfn'>Foo</dfn> <i>enters</i> a <b>bar</b>.\n"
+     "      <br>The bar has <strong>2 baz</strong> on tap:</p>\n"
+     "      <ul>\n"
+     "        <li>Baz<sub>1</sub></li>\n"
+     "        <li>Baz<sup>2</sup></li>\n"
+     "      </ul>\n"
+     "      <pre>Foo bar baz</pre>\n"
+     "    </div>",
+     [{"htmlProse":
+       "<p><dfn>Foo</dfn> <i>enters</i> a <b>bar</b>.\n"
+       "      <br>The bar has <strong>2 baz</strong> on tap:</p>\n"
+       "      <ul>\n"
+       "        <li>Baz<sub>1</sub></li>\n"
+       "        <li>Baz<sup>2</sup></li>\n"
+       "      </ul>\n"
+       "      <pre>Foo bar baz</pre>"}]),
+    ("keeps useful attributes in prose that defines a term",
+     "<p data-defines='#foo'>\n"
+     "      <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> "
+     "<i dir=\"ltr\">enters</i> a "
+     "<a lang=\"en\" title=\"Ze ol' tavern\">bar</a>.\n"
+     "    </p>",
+     [{"htmlProse":
+       '<dfn>Foo</dfn> <i dir="ltr">enters</i> a '
+       '<a lang="en" title="Ze ol\' tavern">bar</a>.'}]),
+    ("keeps href in prose that defines a term",
+     "<p data-defines='#foo'>\n"
+     "      <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> enters a "
+     "<a href=\"#bar\">bar</a>.\n"
+     "    </p>",
+     [{"htmlProse":
+       '<dfn>Foo</dfn> enters a <a href="about:blank#bar">bar</a>.'}]),
+    ("keeps href in prose that defines a term in multi-page specs too",
+     "<p data-defines='#foo' "
+     "data-reffy-page=\"https://www.w3.org/TR/foo/page1.html\">\n"
+     "      <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> enters a "
+     "<a href=\"page2.html#bar\">bar</a>.\n"
+     "    </p>",
+     [{"href": "https://www.w3.org/TR/foo/page1.html#foo",
+       "heading": {"href": "https://www.w3.org/TR/foo/page1.html",
+                   "title": ""},
+       "htmlProse":
+       '<dfn>Foo</dfn> enters a '
+       '<a href="https://www.w3.org/TR/foo/page2.html#bar">bar</a>.'}]),
+    ("extracts prose that defines a term without extra attributes",
+     "<p data-defines='#foo'>\n"
+     "      <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> "
+     "<i class=\"verb\">enters</i> a <a hidden inert tabindex=2>bar</a>.\n"
+     "    </p>",
+     [{"htmlProse": "<dfn>Foo</dfn> <i>enters</i> a <a>bar</a>."}]),
+    ("suppresses asides from the prose that defines a term",
+     "<div data-defines='#foo'>\n"
+     "      <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> enters a bar.\n"
+     "      <aside><p>I'm an aside</p></aside>\n"
+     "      <p class='mdn-anno'>So am I</p>\n"
+     "      <span class='wpt-tests-block'>Lots of tests</span>\n"
+     "      <span class='annotation'>And annotations</span>\n"
+     "      <div id='dfn-panel-foo'>A list of references</div>\n"
+     "    </div>",
+     [{"htmlProse": "<dfn>Foo</dfn> enters a bar."}]),
+    ("suppresses more complex structure from the prose that defines a term",
+     "<div data-defines='#foo'>\n"
+     "      <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> "
+     "<i class=\"verb\">enters</i> a <a autofocus>bar</a>.\n"
+     "      <section>\n"
+     "        <h4>An inner section</h4>\n"
+     "      </section>\n"
+     "      <img src=\"bar.png\" alt=\"A bar\">\n"
+     "    </div>",
+     [{"htmlProse": "<dfn>Foo</dfn> <i>enters</i> a <a>bar</a>."}]),
+    ("skips HTML comments when it extracts the prose that defines a term",
+     "<p data-defines='#foo'>\n"
+     "      <!-- No comment -->\n"
+     "      <dfn id='foo' data-dfn-type='dfn'>Foo</dfn> enters a bar.\n"
+     "    </p>",
+     [{"htmlProse": "<dfn>Foo</dfn> enters a bar."}]),
 ]
 
 
