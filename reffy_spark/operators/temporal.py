@@ -15,35 +15,30 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-class _CacheSlot:
-    """One persisted working-set slot PER OPERATOR (not module-global):
-    the skew-safe result returned by an operator references its persisted
-    ``part`` frame three times (local/carries/pairs), so only a NEW call
-    to the SAME operator may evict it — a shared slot would let
-    ``sessionize_skewsafe`` unpersist a pending ``asof_join_skewsafe``
-    plan, whose correctness would then silently depend on
-    repartitionByRange + spark_partition_id recomputing identical slices
-    across its three branches (not guaranteed: the range partitioner
-    samples). Lifecycle contract, documented on both operators: evaluate
-    a skew-safe result before the next call to the SAME operator; same
-    pattern as frontier._prev_rank_cache / linkgraph._pr_caches."""
-
-    def __init__(self) -> None:
-        self._df: DataFrame | None = None
-
-    def swap(self, df: DataFrame) -> None:
-        if self._df is not None:
-            try:
-                self._df.unpersist(blocking=False)
-            except Exception:
-                pass
-        self._df = df
+# Working-set note (ADVICE r6): the skew-safe twins reference their
+# range-partitioned ``part`` frame three times (local/carries/pairs).
+# repartitionByRange SAMPLES its boundaries and spark_partition_id is
+# plan-dependent, so three independent recomputations could slice the
+# data differently and silently mis-join — the r5 fix persisted the
+# frame behind a per-operator cache slot whose unpersist-on-next-call
+# lifecycle still allowed a pending plan's working set to be evicted
+# before evaluation. The frames are now eagerly localCheckpoint-ed
+# instead: the slices are computed ONCE and the lineage truncated, so a
+# returned plan stays correct no matter how many later calls run, and
+# block loss surfaces as a job failure, never as divergent slices.
+# (localCheckpoint is not resilient to executor loss; on a real cluster
+# a long-lived pipeline should set a reliable checkpoint dir and swap
+# checkpoint() in — same single-line site, both operators.)
 
 
-_asof_cache = _CacheSlot()
-_sessionize_cache = _CacheSlot()
+def _sliced(df: DataFrame, num_parts: int, *cols) -> DataFrame:
+    """The skew-safe working-set frame BEFORE checkpointing: range-
+    partitioned on ``cols`` with frozen slice ids. Factored out so plan
+    tests can assert the RangePartitioning shape that the eager
+    localCheckpoint otherwise hides behind an ExistingRDD scan."""
+    ranged = df.repartitionByRange(num_parts, *cols)
+    return ranged.withColumn("_pid", F.spark_partition_id())
 
 # skew_safe="auto" routes to the two-phase twins above this estimated
 # input size (Catalyst plan statistics, driver-side, no job). The twins
@@ -211,14 +206,12 @@ def asof_join_skewsafe(
     if num_parts is None:
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     u, lcols = _asof_union(left, right, by, ts, value_cols)
-    ranged = u.repartitionByRange(num_parts, F.col(by), F.col(ts), F.col("_tag"))
-    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # per-operator slot: a NEW asof call supersedes the previous asof
-    # result's working set — evaluate a returned plan before calling
-    # asof_join_skewsafe again (see _CacheSlot)
-    _asof_cache.swap(part)
+    # eager localCheckpoint: slices computed once, lineage truncated —
+    # the three self-references below can never see divergent
+    # repartitionByRange samples (see module note)
+    part = _sliced(
+        u, num_parts, F.col(by), F.col(ts), F.col("_tag")
+    ).localCheckpoint()
 
     # slice-local running last (hot key split across many tasks)
     w_local = (
@@ -342,14 +335,9 @@ def sessionize_skewsafe(
         num_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     gap_us = gap_minutes * 60 * 1_000_000
     t_us = F.unix_micros(F.col(ts).cast("timestamp"))
-    ranged = events.repartitionByRange(num_parts, F.col(by), F.col(ts))
-    part = ranged.withColumn("_pid", F.spark_partition_id()).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # per-operator slot: never evicts a pending asof_join_skewsafe plan's
-    # working set — evaluate a returned plan before calling
-    # sessionize_skewsafe again (see _CacheSlot)
-    _sessionize_cache.swap(part)
+    # eager localCheckpoint: slices computed once, lineage truncated
+    # (see module note)
+    part = _sliced(events, num_parts, F.col(by), F.col(ts)).localCheckpoint()
 
     w_loc = Window.partitionBy("_pid", by).orderBy(ts)
     flagged = part.withColumn("_tus", t_us).withColumn(

@@ -1370,7 +1370,11 @@ _SAMPLE_FIRST = [
 
 
 def _reordered(d: dict) -> dict:
-    head = {k: d[k] for k in _SAMPLE_FIRST if k in d}
+    # a typo'd rotation name would silently fall outside the driver's
+    # first-50 gate — fail at import time instead (ADVICE r6)
+    missing = set(_SAMPLE_FIRST) - d.keys()
+    assert not missing, f"_SAMPLE_FIRST names not in registry: {missing}"
+    head = {k: d[k] for k in _SAMPLE_FIRST}
     head.update({k: v for k, v in d.items() if k not in head})
     return head
 

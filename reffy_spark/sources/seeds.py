@@ -68,10 +68,14 @@ def with_input_order_index(df: DataFrame, out: str = "seed_idx") -> DataFrame:
     offsets = counts.select(
         "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
     )
+    # long, not int: webtext-scale seed lists pass 2^31-1 rows (ADVICE
+    # r6). The low-33-bit extraction below also bounds any single scan
+    # partition to < 2^33 rows — per the monotonically_increasing_id
+    # contract, not a practical limit at sane partition sizes.
     in_part = F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
     return (
         tagged.join(F.broadcast(offsets), "_pid")
-        .withColumn(out, (F.col("_off") + in_part).cast("int"))
+        .withColumn(out, (F.col("_off") + in_part).cast("long"))
         .drop("_mid", "_pid", "_off")
     )
 

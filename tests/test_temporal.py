@@ -110,10 +110,19 @@ def test_asof_skewsafe_plan_bounded_sorts(spark):
 
     from reffy_spark.operators.temporal import asof_join_skewsafe
 
+    from reffy_spark.operators import temporal as T
+
     left, right = _skewed_asof_world(spark)
     out = asof_join_skewsafe(left, right, num_parts=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+    # the working set is eagerly checkpointed (ADVICE r6) — the range
+    # exchange lives in the checkpoint job; assert it on the
+    # pre-checkpoint fragment and the frozen scan in the result
+    u, _ = T._asof_union(left, right, "user_id", "ts", ("value",))
+    pre = T._sliced(u, 8, "user_id", "ts", "_tag")
+    pre_plan = pre._jdf.queryExecution().executedPlan().toString().lower()
+    assert "rangepartitioning" in pre_plan
+    assert "ExistingRDD" in plan
     assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#", plan)
     # the boundary-carry side reaches the local slices by broadcast
     assert "BroadcastExchange" in plan
@@ -194,9 +203,17 @@ def test_sessionize_skewsafe_plan_bounded_sorts(spark):
         [(i, i % 3, _ts(i % 60)) for i in range(100)],
         "event_id long, user_id long, ts timestamp",
     )
+    from reffy_spark.operators import temporal as T
+
     out = sessionize_skewsafe(ev, num_parts=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+    # range exchange lives in the eager checkpoint job (ADVICE r6)
+    pre = T._sliced(ev, 8, "user_id", "ts")
+    assert (
+        "rangepartitioning"
+        in pre._jdf.queryExecution().executedPlan().toString().lower()
+    )
+    assert "ExistingRDD" in plan
     assert not re.search(r"windowspecdefinition\(user_id#\d+L?, ts#", plan)
     assert "BroadcastExchange" in plan
 
@@ -214,34 +231,29 @@ def test_sessionize_single_sort(spark):
     assert plan.count("Sort ") <= 1
 
 
-def test_cross_operator_calls_do_not_evict_pending_working_sets(spark):
-    """ADVICE r5: the skew-safe working-set caches are PER OPERATOR —
-    calling sessionize_skewsafe must not unpersist a pending (returned,
-    not-yet-evaluated) asof_join_skewsafe plan's persisted slices, whose
-    correctness would otherwise ride on the range partitioner resampling
-    identically across the plan's three branches."""
+def test_pending_skewsafe_plans_survive_any_later_calls(spark):
+    """ADVICE r6: the skew-safe working sets are eagerly
+    localCheckpoint-ed, so a pending (returned, not-yet-evaluated) plan
+    stays correct no matter how many LATER calls to either operator run
+    — the r5 per-operator cache slot let a second asof call evict the
+    pending plan's persisted slices, silently re-sampling
+    repartitionByRange across its three branches."""
     from reffy_spark.operators import temporal as T
 
     left, right = _skewed_asof_world(spark)
     pending = T.asof_join_skewsafe(left, right, num_parts=8)  # not evaluated
-    asof_part = T._asof_cache._df
-    assert asof_part is not None and asof_part.storageLevel.useMemory
 
     events = spark.createDataFrame(
         [(1, dt.datetime(2024, 1, 1, 0, m)) for m in range(5)],
         "user_id long, ts timestamp",
     )
     T.sessionize_skewsafe(events, num_parts=4).collect()
-    # the asof working set survived the sessionize call...
-    assert T._asof_cache._df is asof_part
-    assert asof_part.storageLevel.useMemory
-    # ...and the pending plan still evaluates correctly
+    # the r5 hazard case: a SECOND asof call before the pending plan is
+    # evaluated — must not perturb it either
+    T.asof_join_skewsafe(left, right, num_parts=8).collect()
+
     want = sorted(tuple(r) for r in T.asof_join(left, right).collect())
     assert sorted(tuple(r) for r in pending.collect()) == want
-
-    # a NEW asof call DOES supersede the old asof working set
-    T.asof_join_skewsafe(left, right, num_parts=8)
-    assert T._asof_cache._df is not asof_part
 
 
 def test_skew_safe_auto_routing(spark):
@@ -256,12 +268,17 @@ def test_skew_safe_auto_routing(spark):
     def plan_of(df):
         return df._jdf.queryExecution().executedPlan().toString().lower()
 
+    # the skew-safe twin's marker: its working set is an eagerly
+    # checkpointed scan sliced by _pid; the direct plan has neither
+    def is_skewsafe(df):
+        return "_pid" in plan_of(df)
+
     direct = T.asof_join(left, right, skew_safe=False)
-    assert "rangepartitioning" not in plan_of(direct)
+    assert not is_skewsafe(direct)
     forced = T.asof_join(left, right, skew_safe=True)
-    assert "rangepartitioning" in plan_of(forced)
+    assert is_skewsafe(forced)
     # tiny input: auto stays on the direct plan
-    assert "rangepartitioning" not in plan_of(T.asof_join(left, right))
+    assert not is_skewsafe(T.asof_join(left, right))
     want = sorted(tuple(r) for r in direct.collect())
     assert sorted(tuple(r) for r in forced.collect()) == want
 
@@ -279,14 +296,14 @@ def test_skew_safe_auto_routing(spark):
     T._SKEW_SAFE_AUTO_BYTES = 1
     try:
         routed = T.asof_join(lf, rf)
-        assert "rangepartitioning" in plan_of(routed)
+        assert is_skewsafe(routed)
         assert sorted(tuple(r) for r in routed.collect()) == want
     finally:
         T._SKEW_SAFE_AUTO_BYTES = old
     # unknown-size frames (local relations) stay direct even at threshold 1
     T._SKEW_SAFE_AUTO_BYTES = 1
     try:
-        assert "rangepartitioning" not in plan_of(T.asof_join(left, right))
+        assert not is_skewsafe(T.asof_join(left, right))
     finally:
         T._SKEW_SAFE_AUTO_BYTES = old
 
@@ -304,7 +321,7 @@ def test_sessionize_auto_routing(spark):
         return df._jdf.queryExecution().executedPlan().toString().lower()
 
     direct = T.sessionize(events, skew_safe=False)
-    assert "rangepartitioning" not in plan_of(direct)
+    assert "_pid" not in plan_of(direct)
     want = sorted(tuple(r) for r in direct.collect())
     import tempfile
 
@@ -315,7 +332,7 @@ def test_sessionize_auto_routing(spark):
     T._SKEW_SAFE_AUTO_BYTES = 1
     try:
         routed = T.sessionize(ef)
-        assert "rangepartitioning" in plan_of(routed)
+        assert "_pid" in plan_of(routed)
         assert sorted(tuple(r) for r in routed.collect()) == want
     finally:
         T._SKEW_SAFE_AUTO_BYTES = old
