@@ -766,6 +766,43 @@ ORACLE_ANN_TOPK_MULTIPROBE = f"""
 """
 
 
+def q_ann_topk_batch(spark, sf_dir):
+    """Batch ANN (VERDICT r6 next-round #4): a TABLE of query vectors
+    joined against the bucketed index in one plan — no per-query
+    ``.first()``, no per-query job."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return S.ann_topk_batch(
+        emb, queries, dim=64, k=10, n_planes=_MP_N_PLANES, hamming=1,
+        q_id_col="vec_id",
+    )
+
+
+ORACLE_ANN_TOPK_BATCH = f"""
+    WITH {_lsh_planes_cte(_MP_N_PLANES)},
+    qsel AS (
+      SELECT vec_id AS query_id, embedding, bucket
+      FROM buckets WHERE vec_id % 97 = 0
+    ),
+    probes AS (
+      SELECT query_id, embedding, bucket AS pb FROM qsel
+      UNION ALL
+      SELECT query_id, embedding, xor(bucket, CAST(1 << p.range AS BIGINT))
+      FROM qsel, range(0, {_MP_N_PLANES}) p
+    ),
+    cand AS (
+      SELECT a.query_id AS query_id, b.vec_id AS vec_id, {_COS} AS cosine
+      FROM probes a JOIN buckets b ON b.bucket = a.pb
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Near-duplicate vectors: LSH-bucketed candidates, exact cosine
     verification inside buckets."""
@@ -1020,6 +1057,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ann_topk_lsh": q_ann_topk_lsh,
     "ann_topk_multiprobe": q_ann_topk_multiprobe,
+    "ann_topk_batch": q_ann_topk_batch,
     "embedding_neardup": q_embedding_neardup,
     "extract_headings": q_extract_headings,
     "extract_links": q_extract_links,
@@ -1050,6 +1088,7 @@ ORACLES = {
     "cosine_topk": ORACLE_COSINE_TOPK,
     "ann_topk_lsh": ORACLE_ANN_TOPK_LSH,
     "ann_topk_multiprobe": ORACLE_ANN_TOPK_MULTIPROBE,
+    "ann_topk_batch": ORACLE_ANN_TOPK_BATCH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "extract_headings": ORACLE_EXTRACT_HEADINGS,
     "extract_links": ORACLE_EXTRACT_LINKS,

@@ -174,6 +174,49 @@ def test_ann_multiprobe_recovers_recall(spark, sf_dir):
     assert r_multi > r_single
 
 
+def test_ann_batch_matches_per_query_probes(spark, emb):
+    """ann_topk_batch = per-query ann_topk_lsh, computed in ONE plan
+    (VERDICT r6 #4: no per-query .first()/job)."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    batch = S.ann_topk_batch(
+        emb, queries, dim=64, k=5, n_planes=6, hamming=1, q_id_col="vec_id"
+    )
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {r["vec_id"] for r in queries.collect()}
+    for qid, got in by_q.items():
+        qv = list(
+            emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        )
+        want = S.ann_topk_lsh(
+            emb, qv, dim=64, k=5, n_planes=6, hamming=1
+        ).collect()
+        got_sorted = sorted(got, key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got_sorted] == [r["vec_id"] for r in want]
+        assert [r["cosine"] for r in got_sorted] == [r["cosine"] for r in want]
+        assert [r["rank"] for r in got_sorted] == list(range(1, len(got) + 1))
+
+
+def test_ann_batch_single_plan_shape(spark, emb):
+    """One relational plan for N queries: no cartesian/nested-loop join,
+    one per-query window, plain equi-join on bucket."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    out = S.ann_topk_batch(
+        emb, queries, dim=64, k=5, n_planes=6, hamming=1, q_id_col="vec_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.lower().count("windowspecdefinition") >= 1
+    assert "query_id" in plan
+
+
 def test_probe_buckets_hamming_set(spark):
     from reffy_spark.operators.similarity import lsh_bucket_py, probe_buckets
 
