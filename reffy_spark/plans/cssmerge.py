@@ -355,9 +355,9 @@ def cssmerge_crawl(spark, results: list[dict]) -> dict:
         "series string, series_version double, spec_url string, "
         "extra string, _ord long, has_descriptors boolean",
     )
-    consolidated = consolidate_features(
+    consolidated_df = consolidate_features(
         feat_df.drop("uid", "has_descriptors")
-    ).collect()
+    )
 
     # ---- descriptor merge --------------------------------------------------
     # keep a descriptor from the dfn at series level v iff no other dfn of
@@ -391,36 +391,91 @@ def cssmerge_crawl(spark, results: list[dict]) -> dict:
         kept.sort(key=lambda d: d.get("name") or "")
         merged_descs[fid] = kept
 
-    # ---- reassembly --------------------------------------------------------
-    out: dict[str, list[dict]] = {c: [] for c in _REPORT_CATEGORIES}
-    by_href: dict[tuple, dict] = {}
-    for r in sorted(consolidated, key=lambda r: r["_ord"]):
-        entry = dict(json.loads(r["extra"]))
-        entry["name"] = r["name"]
-        if r["href"] is not None:
-            entry["href"] = r["href"]
-        if r["legacy_alias_of"] is not None:
-            entry["legacyAliasOf"] = r["legacy_alias_of"]
-        if r["syntax"] is not None:
-            entry["syntax"] = r["syntax"]
-        entry["extended"] = list(r["extended"] or [])
-        fid = r["category"] + "\x00" + _feature_id(r["name"], r["for"])
-        if fid in has_desc_key:
-            entry["descriptors"] = merged_descs.get(fid, [])
-        # scope merge: same (category, href) entries collapse into the
-        # first one with a sorted `for` array (cssmerge.js:330-356)
-        key = (r["category"], r["href"])
-        first = by_href.get(key)
-        if first is not None and r["href"] is not None:
-            if r["for"]:
-                first["for"].append(r["for"])
-                first["for"].sort()
-            continue
-        if r["for"]:
-            entry["for"] = [r["for"]]
-        by_href[key] = entry
-        out[r["category"]].append(entry)
-
-    for c in _REPORT_CATEGORIES:
-        out[c].sort(key=lambda f: _feature_id(f["name"], f.get("for")))
+    # ---- reassembly (executor-side, VERDICT r6 #7) --------------------------
+    # one pandas group per category via applyInPandas: scope merge,
+    # descriptor attach and the featureId sort all run where the data
+    # is; only the five finished category JSON strings cross to the
+    # driver (writers can skip even that — write_cssmerge_report).
+    report_df = _cssmerge_report_df(consolidated_df, merged_descs, has_desc_key)
+    out = {c: [] for c in _REPORT_CATEGORIES}
+    for r in report_df.collect():
+        out[r["category"]] = json.loads(r["report"])
     return out
+
+
+def _cssmerge_report_df(
+    consolidated_df, merged_descs: dict, has_desc_key: set
+):
+    """(category, report) with ``report`` the finished category JSON
+    array — the consolidated feature table never reaches the driver.
+    ``merged_descs``/``has_desc_key`` are descriptor metadata (bounded
+    by features-with-descriptors, i.e. at-rules) shipped to executors
+    in the UDF closure; everything feature-count-sized stays
+    distributed. Exact same scope-merge / descriptor / sort semantics
+    as the former driver loop (cssmerge.js:254-356)."""
+    import json
+
+    import pandas as pd
+
+    def assemble(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cat = str(pdf["category"].iloc[0])
+        out_list: list[dict] = []
+        by_href: dict = {}
+        for r in pdf.sort_values("_ord").to_dict("records"):
+            entry = dict(json.loads(r["extra"]))
+            entry["name"] = r["name"]
+            if r["href"] is not None:
+                entry["href"] = r["href"]
+            if r["legacy_alias_of"] is not None:
+                entry["legacyAliasOf"] = r["legacy_alias_of"]
+            if r["syntax"] is not None:
+                entry["syntax"] = r["syntax"]
+            ext = r["extended"]
+            entry["extended"] = [] if ext is None else list(ext)
+            fid = cat + "\x00" + _feature_id(r["name"], r["for"])
+            if fid in has_desc_key:
+                entry["descriptors"] = merged_descs.get(fid, [])
+            # scope merge: same (category, href) entries collapse into
+            # the first one with a sorted `for` array (cssmerge.js:330-356)
+            first = by_href.get(r["href"])
+            if first is not None and r["href"] is not None:
+                if r["for"]:
+                    first["for"].append(r["for"])
+                    first["for"].sort()
+                continue
+            if r["for"]:
+                entry["for"] = [r["for"]]
+            by_href[r["href"]] = entry
+            out_list.append(entry)
+        out_list.sort(key=lambda f: _feature_id(f["name"], f.get("for")))
+        return pd.DataFrame(
+            {"category": [cat], "report": [json.dumps(out_list)]}
+        )
+
+    return consolidated_df.groupBy("category").applyInPandas(
+        assemble, "category string, report string"
+    )
+
+
+def write_cssmerge_report(report_df, out_dir: str):
+    """Executor-side per-category JSON emission (mapInPandas) — the
+    scale path writes ``{out_dir}/{category}.json`` without any report
+    bytes crossing the driver. Returns (category, path); evaluate to
+    write. ``out_dir`` must be shared storage on a real cluster."""
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def emit(batches):
+        for pdf in batches:
+            paths = []
+            for cat, report in zip(pdf["category"], pdf["report"]):
+                p = os.path.join(out_dir, f"{cat}.json")
+                with open(p, "w", encoding="utf-8") as fh:
+                    fh.write(report)
+                paths.append(p)
+            yield pd.DataFrame({"category": pdf["category"], "path": paths})
+
+    return report_df.mapInPandas(emit, "category string, path string")
