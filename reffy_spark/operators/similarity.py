@@ -532,19 +532,6 @@ def ann_topk_ivf(
 # --------------------------------------------------------------------------
 
 
-def _sub_l2(vsub: Column, codeword: list[float]) -> Column:
-    """Σ (x - c)^2 over one subspace — ascending-index fold, matching
-    DuckDB's list_sum(list_transform(range(...))) evaluation order."""
-    cw = F.array(*[F.lit(float(x)) for x in codeword])
-    return F.aggregate(
-        F.zip_with(
-            vsub, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def pq_codebooks(
     emb: DataFrame,
     m: int = 4,
@@ -574,19 +561,36 @@ def pq_codebooks(
 def _pq_code_cols(v: Column, books: list[list[list[float]]]) -> list[Column]:
     """Per-subspace code assignment: argmin L2 over codeword literals
     (ties → lowest code id) — array_min over (dist, code) structs, the
-    zero-shuffle argmax idiom of ``ivf_assignments``."""
+    zero-shuffle argmax idiom of ``ivf_assignments``.
+
+    The codebook enters the plan as ONE nested literal array per
+    subspace scanned by ``transform`` — k is data, not expression nodes,
+    so production-shape k=256 (8-bit subquantizers) compiles and
+    evaluates like k=8 (the per-codeword-subtree form hit whole-stage
+    codegen limits past a few dozen codewords). Fold order inside the
+    lambda matches DuckDB list_sum (ascending index)."""
     dsub = len(books[0][0])
     cols = []
     for j, book in enumerate(books):
         vsub = F.slice(v, j * dsub + 1, dsub)
-        entries = F.array(
-            *[
-                F.struct(
-                    _sub_l2(vsub, cw).alias("d"),
-                    F.lit(c).cast("int").alias("c"),
-                )
-                for c, cw in enumerate(book)
-            ]
+        cw_lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in book]
+        )
+        entries = F.transform(
+            cw_lits,
+            lambda cw, c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        vsub,
+                        cw,
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("d"),
+                c.cast("int").alias("c"),
+            ),
         )
         cols.append(F.array_min(entries)["c"])
     return cols
@@ -603,7 +607,8 @@ def _adc_dist_col(
 
     def l2_py(a: list[float], b: list[float]) -> float:
         acc = 0.0
-        for x, y in zip(a, b):  # ascending fold, same order as _sub_l2
+        for x, y in zip(a, b):  # ascending fold, same order as the
+            # _pq_code_cols lambda / DuckDB list_sum
             acc += (float(x) - float(y)) * (float(x) - float(y))
         return acc
 

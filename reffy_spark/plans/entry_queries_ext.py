@@ -2612,56 +2612,15 @@ EXT_ORACLES.update(
 # TRAINED PQ / IVFADC (pq_train + ivf_kmeans exercised through the gate)
 # ---------------------------------------------------------------------------
 # Frozen model metadata, the tools/train_ivf.py strategy: Lloyd-trained
-# PQ codebooks from tools/train_pq.py (sf0.01, m=4, k=8, 5 iters),
-# rounded to 6 decimals. The oracle reuses the first-k SQL verbatim with
+# PQ codebooks from tools/train_pq.py (sf0.01, m=4, k=256 — 8-bit
+# subquantizers, the FAISS production shape; VERDICT r6 #3), rounded
+# to 6 decimals and frozen in plans/pq_trained_books.py (generated). The oracle reuses the first-k SQL verbatim with
 # its ``cen`` swapped for VALUES of k CONCATENATED 64-dim "virtual
 # centroids" — legal because the subspace math only ever reads slice j
 # of codeword c, and concat(book[0][c], ..., book[m-1][c]) reproduces
 # every slice. A quantizer is valid for any dataset, so one frozen
 # training serves every sf.
-# trained by tools/train_pq.py on /root/testdata/sf0.01 (m=4, k=8, n_iters=5)
-_PQ_TRAINED_BOOKS = [
-    [  # subspace 0
-        [0.043255, 0.016177, 0.028459, -0.110104, 0.066698, 0.008161, -0.015943, -0.030618, 0.105971, -0.02016, -0.012781, -0.022184, -0.016954, 0.005686, 0.001381, 0.012477],
-        [-0.046792, -0.005939, 0.051463, 0.028403, 0.054557, 0.048512, -0.132232, 0.01336, -0.001401, 0.021857, -0.044659, 0.031408, 0.041351, -0.108995, 0.08518, 0.012891],
-        [-0.017676, -0.027475, -0.084939, 0.018237, -0.017114, -0.003959, -0.016073, -0.03168, -0.041409, -0.139607, 0.000735, -0.069053, -0.047785, 0.06414, -0.00913, 0.052097],
-        [-0.004592, 0.051603, 0.038342, 0.004086, 0.019463, 0.012386, 0.03623, -0.016939, -0.054912, 0.015547, -0.052513, 0.120471, 0.067828, 0.141724, 0.016297, 0.035551],
-        [0.0115, -0.005289, 0.05638, 0.007995, -0.029291, -0.161974, 0.065484, 0.052016, -0.030478, 0.125996, 0.056863, -0.029138, 0.035199, -0.027861, 0.057504, 0.020136],
-        [0.021111, -0.068474, 0.045516, 0.001114, 0.035392, 0.02522, -0.002721, 0.070294, -0.017674, -0.018803, 0.103973, -0.012501, 0.03105, -0.045827, -0.126147, 0.03695],
-        [-0.087739, -0.04143, -0.063326, -0.013642, -0.057044, 0.05502, -0.033256, 0.004352, 0.057793, 0.121859, 0.066037, 0.046914, -0.05943, 0.071278, -0.016797, -0.013142],
-        [0.08301, 0.03878, -0.045239, 0.058467, -0.047769, 0.046125, 0.004601, 0.045675, -0.073571, -0.020775, -0.022761, -0.005212, -0.068129, -0.047046, -0.025436, -0.127498],
-    ],
-    [  # subspace 1
-        [0.005185, -0.015089, 0.028569, 0.043531, -0.071319, -0.089452, -0.005158, 0.001087, 0.003547, 0.076934, 0.049365, 0.021797, 0.009518, 0.133298, 0.007929, 0.105043],
-        [0.024666, 0.066741, 0.025795, -0.085352, -0.001523, 0.033132, 0.071413, -0.149393, 0.041155, 0.054403, -0.036291, -0.001635, -0.074697, 0.023279, -0.087837, 0.063245],
-        [-0.102954, 0.020638, -0.037359, -0.031769, 0.042692, 0.083462, 0.054887, 0.007502, -0.065077, -0.016841, 0.039602, -0.059369, 0.037869, 0.061731, -0.044391, -0.09453],
-        [-0.043715, -0.029521, 0.047432, 0.056863, 0.0077, 0.006294, -0.017698, 0.001435, -0.030983, 0.086931, 0.012028, -0.050985, -0.075424, -0.100888, -0.022811, -0.006592],
-        [0.032784, 0.050098, 0.051689, -0.025676, -0.043883, 0.077669, 0.002817, 0.09649, 0.023882, -0.069094, 0.051263, -0.010296, 0.062413, -0.067462, 0.020369, 0.084259],
-        [0.024739, -0.106267, -0.068727, 0.014117, 0.033573, 0.004225, -0.041742, 0.0429, 0.114066, 0.048725, -0.01784, 0.013008, 0.055557, 0.062765, 0.025305, -0.067598],
-        [0.028529, 0.066937, -0.005044, 0.026924, 0.023336, -0.069091, -0.054831, -0.060691, -0.071275, -0.058665, -0.02956, 0.087401, 0.038306, -0.022132, -0.011668, -0.0505],
-        [0.0361, -0.007424, -0.046083, -0.01377, -0.031836, 0.001335, 0.064871, -0.006459, -0.023111, -0.00036, -0.067208, 0.055397, -0.077273, -0.051685, 0.149134, -0.061388],
-    ],
-    [  # subspace 2
-        [-0.074317, -0.098794, 0.076461, -0.050474, -0.007154, 0.000719, -0.008223, 0.007012, 0.020078, 0.041621, -0.022146, -0.029287, 0.007894, -0.002155, 0.034532, -0.124872],
-        [0.024114, 0.047165, 0.045521, 0.025177, -0.044874, -0.037817, 0.086988, -0.117651, -0.003574, -0.056914, 0.06836, -0.065839, 0.01607, -0.056562, -0.018212, 0.005195],
-        [0.009336, 0.000431, 0.011486, 0.042127, -0.011498, 0.071512, -0.038755, 0.019149, -0.000124, 0.016864, 0.143031, 0.053117, -0.093252, 0.032415, -0.027291, -0.100142],
-        [0.117322, 0.060459, -0.022938, 0.027097, 0.016765, -0.020996, -0.009539, -0.030196, 0.017168, -0.09682, -0.081185, 0.049939, 0.003348, 0.022698, -0.010167, -0.025865],
-        [-0.031548, 0.009979, 0.033253, -0.085771, -0.028359, 0.039876, -0.086558, -0.035554, -0.013173, 0.007528, -0.059973, -0.009496, 0.037514, 0.035662, -0.085453, 0.107312],
-        [0.040085, -0.017401, -0.079408, 0.080452, 0.043751, 0.049689, -0.006796, 0.054022, -0.047418, 0.078631, -0.092343, 0.010289, -0.036274, -0.05956, 0.075397, 0.02646],
-        [-0.053138, -0.067289, -0.02841, 0.08766, 0.112517, -0.016567, 0.018549, 0.009319, 0.058131, -0.067654, 0.039191, -0.122453, 0.040109, 0.036978, 0.030543, 0.094162],
-        [-0.005588, -0.029433, 0.001879, -0.059754, -0.058465, -0.088002, 0.044846, 0.079223, -0.010038, -0.031248, 0.043811, 0.040509, -0.046562, 0.029593, 0.017852, 0.057569],
-    ],
-    [  # subspace 3
-        [0.011438, 0.027867, 0.034362, -0.018672, 0.021001, -0.056085, 0.046608, -0.06903, -0.010703, -0.010121, -0.021575, -0.073061, -0.090198, -0.046193, 0.025588, -0.127085],
-        [-0.103189, -0.046395, 0.016837, -0.004051, 0.033274, 0.032967, -0.007727, 0.061517, 0.040929, -0.019019, 0.060869, 0.049188, -0.010692, 0.025438, -0.083464, -0.080389],
-        [0.100205, 0.070664, 0.079213, -0.067576, 0.056547, -0.040776, 0.044168, 0.038846, 0.071481, 0.012819, 0.022336, 0.096092, 0.054881, -0.005975, 0.028303, 0.0342],
-        [0.087739, -0.102509, -0.046022, -0.09825, -0.022521, 0.00429, -0.057779, 0.009856, -0.040303, -0.038574, 0.040055, -0.100239, 0.042647, 0.051771, -0.004464, -0.044603],
-        [-0.059544, 0.026702, -0.028815, 0.028149, 0.024068, 0.015764, 0.074332, -0.042403, 0.038656, -0.063619, -0.014896, -0.07768, 0.011575, 0.039343, 0.036537, 0.076274],
-        [-0.01706, 0.015559, 0.067246, -0.004939, -0.038453, 0.031506, -0.08083, -0.129209, -0.029035, 0.024202, 0.031109, 0.064362, -0.045402, 0.026407, -0.0673, -0.000941],
-        [0.03259, -0.055003, -0.07934, 0.076083, -0.010539, 0.01133, 0.002232, 0.058229, -0.048559, 0.030885, -0.045309, 0.042542, -0.032025, 0.016181, 0.067188, 0.01778],
-        [-0.053917, -0.019119, 0.085708, 0.050036, -0.00477, -0.049508, -0.019614, 0.065144, 0.020141, 0.083076, -0.112333, -0.032278, 0.098086, -0.096875, -0.045147, -0.005032],
-    ],
-]
+from reffy_spark.plans.pq_trained_books import _PQ_TRAINED_BOOKS
 
 
 def _pq_trained_cen_sql() -> str:

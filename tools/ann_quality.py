@@ -47,6 +47,8 @@ def main() -> None:
     cents_km = S.ivf_kmeans(emb, n_centroids=8, n_iters=5)
     books_first = S.pq_codebooks(emb, m=4, k=8)
     books_tr = S.pq_train(emb, m=4, k=8, n_iters=5)
+    # 8-bit subquantizers — the FAISS production shape (VERDICT r6 #3)
+    books_tr256 = S.pq_train(emb, m=4, k=256, n_iters=5)
 
     def ids(df):
         return [r["vec_id"] for r in df.collect()]
@@ -78,6 +80,16 @@ def main() -> None:
         ),
         "ivfadc (nprobe=4)": lambda v: S.ann_topk_ivfadc(
             emb, v, k=k, nprobe=4, centroids=cents_km, books=books_tr
+        ),
+        "pq adc trained (m=4, 256 codes, full scan)": lambda v: S.ann_topk_pq(
+            emb, v, k=k, books=books_tr256
+        ),
+        "ivfadc256 (kmeans ivf nprobe=2 + trained pq256)": lambda v:
+            S.ann_topk_ivfadc(
+                emb, v, k=k, centroids=cents_km, books=books_tr256
+            ),
+        "ivfadc256 (nprobe=4)": lambda v: S.ann_topk_ivfadc(
+            emb, v, k=k, nprobe=4, centroids=cents_km, books=books_tr256
         ),
     }
 
