@@ -352,6 +352,25 @@ def run_scaling() -> dict:
     }
 
 
+def _previous_bench() -> "tuple[str, dict] | None":
+    """Latest driver-recorded BENCH_r*.json (the driver wraps bench
+    output under 'parsed') — the reference point for the drift verdict."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for f in reversed(files):
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+            p = d.get("parsed") or d
+            if p.get("canary_sec") or p.get("raw_mp_pages_per_sec"):
+                return os.path.basename(f), p
+        except Exception:
+            continue
+    return None
+
+
 def main() -> None:
     mp_pps = raw_mp_canary()
     suite = run_suite()
@@ -365,6 +384,43 @@ def main() -> None:
         if canary
         else None
     )
+    # second normalization (VERDICT r6 next-round #5): Python-side host
+    # drift. sec × mp_pps is host-independent for Arrow/Python-bound
+    # queries the way sec ÷ canary is for JVM-bound ones; scaled to
+    # "seconds at a 1000 pages/s python host" so values stay sec-sized.
+    normalized_py = (
+        {k: round(v * mp_pps / 1000.0, 2) for k, v in suite["timings"].items()}
+        if mp_pps
+        else None
+    )
+    # one-line drift verdict vs the previous driver round, so a raw
+    # wall-clock move self-attributes to JVM vs Python host drift
+    # before anyone reads it as a code regression (BENCH_r06's 1.48x
+    # scare was 0.55x python-host drift, zero code)
+    drift = None
+    prev = _previous_bench()
+    if prev is not None:
+        pname, p = prev
+        jvm = (
+            round(canary / p["canary_sec"], 2)
+            if canary and p.get("canary_sec")
+            else None
+        )
+        py = (
+            round(p["raw_mp_pages_per_sec"] / mp_pps, 2)
+            if mp_pps and p.get("raw_mp_pages_per_sec")
+            else None
+        )
+        drift = {
+            "vs": pname,
+            "jvm_x": jvm,
+            "python_x": py,
+            "verdict": (
+                f"host vs {pname}: JVM {jvm}x, Python {py}x — divide a "
+                "query's raw seconds by its side's factor before calling "
+                "it a regression; 'normalized'/'normalized_py' already do"
+            ),
+        }
     result = {
         "metric": "reffy_spark headline suite + crawl replay (URLs fetched+extracted)",
         "value": round(sum(suite["timings"].values()), 3),
@@ -375,7 +431,9 @@ def main() -> None:
         "n_urls": suite["n_urls"],
         "canary_sec": canary,
         "normalized": normalized,
+        "normalized_py": normalized_py,
         "raw_mp_pages_per_sec": mp_pps,
+        "drift": drift,
     }
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         result["scaling"] = run_scaling()
