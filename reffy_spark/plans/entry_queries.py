@@ -1380,31 +1380,37 @@ ORACLES.update(EXT_ORACLES)
 # RUN_FULL_ORACLES=1) MUST run in the same verification gate as the
 # driver sample whenever this list changes.
 _SAMPLE_FIRST = [
-    # --- new in round 6 (never driver-sampled) -------------------------
-    "ann_topk_ivf_trained",  # k-means-trained IVF quantizer (VERDICT #8)
-    "ann_topk_pq_trained", "ann_topk_ivfadc_trained",  # trained PQ family
-    "cuckoo_table", "urlseen_cuckoo",  # cuckoo-filter URL-seen half
+    # --- round-7 window: the 49 queries OUTSIDE round 6's window + the
+    # flagship. Union(r6 sample, this sample) = the whole 99-query
+    # registry, as in r5→r6. This round's changed queries land in the
+    # window almost entirely by construction (extract_dfns htmlProse,
+    # the PQ-family transform refactor, the temporal localCheckpoint
+    # twins, seed_filters, both cssmerge rows, new ann_topk_batch);
+    # the r6-sampled changed rows (urlseen_cuckoo/cuckoo_table, the
+    # trained-PQ pair) are guarded by the full-registry check this
+    # round and rotate back next round.
+    # --- new in round 7 (never driver-sampled) --------------------------
+    "ann_topk_batch",
     # --- flagship: keep driver-checked every round ----------------------
     "crawl_replay",
-    # --- the 44 queries outside round 5's window ------------------------
-    # crawl/frontier/url kernels (driver-green r4, rotated back in)
-    "url_canon", "urlseen_antijoin", "politeness_rank",
-    "politeness_rank_replay", "backrefs", "events_rollup",
-    "series_latest", "merge_crawls",
-    # extraction + post-processing parity surface
-    "extract_headings", "extract_links", "extract_ids", "extract_refs",
-    "extract_idl", "extract_cddl", "extract_elements",
-    "extract_algorithms", "spec_meta", "multipage_ids", "annotate_links",
-    "events_handlers", "event_extensions", "idlnames", "idl_members",
-    "interface_tree", "csscomplete", "idl_dfn_hrefs",
-    "events_consolidation", "mixin_expansion",
-    # dedup / similarity / text-quality families
-    "dedup_exact", "minhash_pairs", "ngram_jaccard", "simhash",
-    "simhash_pairs", "text_profile", "lang_rollup", "quality_filter",
-    "knn_brute", "cosine_topk", "ann_topk_lsh", "ann_topk_multiprobe",
-    "embedding_neardup",
-    # TPC-H classics (kept: they gate the scan/agg/join baseline plans)
-    "q1_pricing_summary", "q3_top_revenue", "q5_revenue_by_nation",
+    # --- changed in round 7 ----------------------------------------------
+    "extract_dfns",  # + html_prose column
+    "seed_filters",  # long seed_idx
+    "asof_prior_signup", "asof_skewsafe", "sessionize_events",
+    "sessionize_skewsafe", "session_stats",  # localCheckpoint working sets
+    "pq_cells", "ann_topk_pq", "ann_topk_ivfadc",  # transform argmin
+    "cssmerge", "cssmerge_full",  # executor-side report assembly
+    # --- the rest of round 6's outside set -------------------------------
+    "extract_events", "extract_css", "patch_dfns", "idlnames_fragments",
+    "missing_dfns", "cache_info", "fetch_fallback", "trim_spaces",
+    "idlnames_dfns", "date_fallback", "css_hiccup", "generator_sniff",
+    "schema_violations", "fallback_reuse", "politeness_permits_stream",
+    "neardup_components", "dedup_canonical", "repetition_profile",
+    "decontaminate", "stratified_sample", "token_stats", "ivf_cells",
+    "ann_topk_ivf", "domain_cap", "idlparsed_ast", "line_dedup",
+    "pack_sequences", "pii_scan", "url_filter", "classifier_score",
+    "duplicate_spans", "bigram_novelty", "pagerank", "host_authority",
+    "doc_keywords", "budget_apportion",
 ]
 
 
