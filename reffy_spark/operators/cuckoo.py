@@ -135,14 +135,21 @@ def cuckoo_maybe_seen(
         F.explode(F.array(F.col("_b1"), F.col("_b2"))).alias("bucket"),
         "fp",
     )
+    # candidates are round-bounded (the same broadcastability argument
+    # as the fetch batch) — broadcast the PROBE side so the seen-sized
+    # table is a map-side scan, never a per-round shuffle (r7: the
+    # probes.join(table, left_semi) form shuffled the table every round
+    # and cost the whole cuckoo win at any scale without bucketed
+    # storage; with bucketed storage this same join also prunes to the
+    # probed buckets)
     hits = (
-        probes.join(table, on=["bucket", "fp"], how="left_semi")
+        table.join(F.broadcast(probes), on=["bucket", "fp"], how="inner")
         .select("url_canon")
         .distinct()
     )
     return hits.unionByName(
         candidates.select(F.col(url_col).alias("url_canon")).join(
-            stash, on="url_canon", how="left_semi"
+            F.broadcast(stash), on="url_canon", how="left_semi"
         )
     ).distinct()
 
@@ -345,7 +352,9 @@ def filter_unseen_with_state(
     rebuilt: the state must already cover exactly ``seen``. ``seen`` is
     consulted only to confirm the maybe-hit sliver."""
     keys = candidates.select(F.col(key).alias("url_canon")).distinct()
-    maybe = state.maybe_seen(keys).withColumnRenamed("url_canon", key)
+    # maybe-hits are a candidate-bounded sliver — broadcast them so the
+    # candidate side never shuffles for the split
+    maybe = F.broadcast(state.maybe_seen(keys).withColumnRenamed("url_canon", key))
     definite_new = candidates.join(maybe, on=key, how="left_anti")
     needs_check = candidates.join(maybe, on=key, how="left_semi")
     confirmed_new = needs_check.join(seen.select(key), on=key, how="left_anti")

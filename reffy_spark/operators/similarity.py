@@ -679,10 +679,13 @@ def ann_topk_pq(
     partial top-k — the scan reads only the codes column at scale (the
     raw vectors stay in cold storage).
 
-    Measured (tools/ann_quality.py, sf0.1, m=4, k=8 → 12 bits/vector):
-    recall@10 = 0.125 first-k codebooks, 0.160 Lloyd-trained (+28% from
-    training alone) — deliberately coarse at 340× compression;
-    production raises k to 256 (8 bits/subspace)."""
+    Measured (tools/ann_quality.py, sf0.1, 20 queries): recall@10 =
+    0.125 first-k m=4,k=8 (12 bits/vector), 0.160 Lloyd-trained k=8,
+    **0.345 Lloyd-trained k=256** (8-bit subquantizers, 32 bits/vector
+    — the FAISS production shape; r7). On the planted-near-dup corpus
+    (cosine≈0.99 neighbors) trained-k=256 ADC recall matches exact
+    in-cell scoring (BENCH r7 table) — the unstructured-vector numbers
+    are the isotropic-noise floor, not the operator's ceiling."""
     bk = books if books is not None else pq_codebooks(emb, m, n_codes, id_col, vec_col)
     adist = _adc_dist_col(F.col(vec_col), bk, query_vec)
     return (
@@ -813,10 +816,14 @@ def ann_topk_ivfadc(
     quantizer; in-cell scoring is PQ's approximate squared-L2 — each
     half identical to (and oracle-proven by) its standalone operator.
 
-    Measured (tools/ann_quality.py, sf0.1): recall@10 = 0.175 at
-    nprobe=2 with trained m=4 PQ — the IVF share (~25%) gated through
-    12-bit ADC fidelity; raise k (codes/subspace) before nprobe when
-    tuning, the fidelity floor binds first at this compression."""
+    Measured (tools/ann_quality.py + planted-near-dup run, sf0.1, r7):
+    unstructured vectors — recall@10 = 0.175 (m=4,k=8, nprobe=2), 0.240
+    (k=256, nprobe=2), 0.290 (k=256, nprobe=4): isotropic noise caps
+    ADC fidelity (full-scan k=256 ADC = 0.345) so IVFADC trails raw IVF
+    there. Planted near-dups (cosine≈0.99, the workload near-dup
+    detection actually serves): **IVFADC k=256 recall = 0.95 = 1.00× of
+    same-nprobe exact-scoring IVF at nprobe 2 and 4** — the 32-bit codes
+    lose nothing once real neighbor structure exists."""
     cents = (
         centroids
         if centroids is not None
