@@ -327,15 +327,39 @@ class CuckooState:
         cross), touching ONLY the newest delta part: the per-round
         commit copies this round's placements, not the accumulated
         table. Every COMPACT_EVERY parts the union is compacted into one
-        frame (one amortized table-sized int copy). ``fn(df, name)``."""
+        frame (one amortized table-sized int copy). The placed delta and
+        the stash delta share the two-window insert lineage, so they are
+        committed as ONE combined frame and sliced after — two separate
+        commits would run the whole insert plan twice per round.
+        ``fn(df, name)``."""
+
+        def combine(table_part: DataFrame, stash_part: DataFrame) -> DataFrame:
+            return table_part.select(
+                "bucket", "fp", F.lit(None).cast("string").alias("url_canon")
+            ).unionByName(
+                stash_part.select(
+                    F.lit(None).cast("int").alias("bucket"),
+                    F.lit(None).cast("int").alias("fp"),
+                    "url_canon",
+                )
+            )
+
+        def split(combined: DataFrame) -> tuple[DataFrame, DataFrame]:
+            return (
+                combined.filter(F.col("bucket").isNotNull()).select("bucket", "fp"),
+                combined.filter(F.col("url_canon").isNotNull()).select("url_canon"),
+            )
+
         parts = list(self.parts)
         stash_parts = list(self.stash_parts)
         if len(parts) >= self.COMPACT_EVERY:
-            parts = [fn(self.table, "cuckoo_table")]
-            stash_parts = [fn(self.stash, "cuckoo_stash")]
+            t, s = split(fn(combine(self.table, self.stash), "cuckoo_state"))
+            parts, stash_parts = [t], [s]
         else:
-            parts[-1] = fn(parts[-1], "cuckoo_delta")
-            stash_parts[-1] = fn(stash_parts[-1], "cuckoo_stash_delta")
+            t, s = split(
+                fn(combine(parts[-1], stash_parts[-1]), "cuckoo_state_delta")
+            )
+            parts[-1], stash_parts[-1] = t, s
         return CuckooState(
             parts, stash_parts, self.m, self.capacity, self.n_items
         )
@@ -357,7 +381,9 @@ def filter_unseen_with_state(
     maybe = F.broadcast(state.maybe_seen(keys).withColumnRenamed("url_canon", key))
     definite_new = candidates.join(maybe, on=key, how="left_anti")
     needs_check = candidates.join(maybe, on=key, how="left_semi")
-    confirmed_new = needs_check.join(seen.select(key), on=key, how="left_anti")
+    from reffy_spark.operators.frontier import anti_join_scan
+
+    confirmed_new = anti_join_scan(needs_check, seen, key)
     return definite_new.unionByName(confirmed_new)
 
 
@@ -385,7 +411,7 @@ def filter_unseen_cuckoo(
     )
     definite_new = candidates.join(maybe, on=key, how="left_anti")
     needs_check = candidates.join(maybe, on=key, how="left_semi")
-    confirmed_new = needs_check.join(
-        seen.select(key), on=key, how="left_anti"
-    )
+    from reffy_spark.operators.frontier import anti_join_scan
+
+    confirmed_new = anti_join_scan(needs_check, seen, key)
     return definite_new.unionByName(confirmed_new)

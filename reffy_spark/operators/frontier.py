@@ -151,6 +151,26 @@ def fold_bloom(bloom: Bloom, df: DataFrame, key: str = "url_canon") -> Bloom:
     return bloom
 
 
+def anti_join_scan(
+    left: DataFrame, seen: DataFrame, key: str = "url_canon"
+) -> DataFrame:
+    """``left LEFT ANTI JOIN seen`` without ever shuffling ``seen``.
+
+    A plain left_anti cannot broadcast its big right side, so every
+    crawl round re-shuffles the ENTIRE seen set even for a handful of
+    candidates (r7 seen-filter bench: the dominant per-round cost at
+    5M+ seen). Candidates are round-bounded (links of a budget-bounded
+    fetch batch), so instead: semi-join ``seen`` against the BROADCAST
+    candidate keys — seen is a map-side scan, zero exchange, partition-
+    prunable when the seen state is stored bucketed on the key — then
+    anti-join ``left`` against the (candidate-bounded, broadcast) hit
+    set. Identical answer to the plain anti-join, row-preserving,
+    null-key rows kept on the left like left_anti."""
+    keys = left.select(key).distinct()
+    hits = seen.select(key).join(F.broadcast(keys), on=key, how="left_semi")
+    return left.join(F.broadcast(hits), on=key, how="left_anti")
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -159,11 +179,12 @@ def filter_unseen(
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is not in ``seen``.
 
-    With a bloom: definitely-new rows bypass the anti-join shuffle; only
-    maybe-seen rows are confirmed exactly (false-positive-safe).
+    With a bloom: definitely-new rows bypass the seen lookup entirely;
+    only maybe-seen rows are confirmed exactly (false-positive-safe).
+    Both paths use the scan-shaped anti-join — seen never shuffles.
     """
     if bloom is None:
-        return candidates.join(seen.select(key), on=key, how="left_anti")
+        return anti_join_scan(candidates, seen, key)
 
     # ship the bitmap via an explicit TorrentBroadcast (one transfer per
     # executor, BitTorrent-style chunks) instead of a UDF closure, which
@@ -177,7 +198,7 @@ def filter_unseen(
     with_flag = candidates.withColumn("_maybe_seen", maybe_seen(F.xxhash64(key)))
     definite_new = with_flag.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = with_flag.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = needs_check.join(seen.select(key), on=key, how="left_anti")
+    confirmed_new = anti_join_scan(needs_check, seen, key)
     return definite_new.unionByName(confirmed_new)
 
 

@@ -186,7 +186,11 @@ def test_materialize_commits_delta_only_then_compacts(spark):
     n_ins = C.CuckooState.COMPACT_EVERY
     for i in range(n_ins):
         st = st.insert(_urls(spark, 5, tag=f"t{i}"), 5).materialized(fn)
-    assert "cuckoo_delta" in names and "cuckoo_table" in names
+    # ONE combined commit per round (placed + stash share the insert
+    # lineage); a compaction commit appears at COMPACT_EVERY
+    assert "cuckoo_state_delta" in names and "cuckoo_state" in names
+    per_round = [n for n in names if n == "cuckoo_state_delta"]
+    assert len(per_round) == n_ins - 1  # every round but the compacting one
     # compaction fired when parts hit COMPACT_EVERY (insert 15), leaving
     # one compacted frame plus the single delta committed since
     assert len(st.parts) == 2
