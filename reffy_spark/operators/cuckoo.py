@@ -41,6 +41,17 @@ All hashing is the portable md5-derived ``h60`` (integer arithmetic
 only) so DuckDB replays placement bit-for-bit — the oracle for
 ``filter_unseen_cuckoo`` is the PLAIN exact anti-join SQL, proving the
 filter changes the plan, not the answer.
+
+Positioning after the r7 measurements (BENCH/BASELINE.md r7 seen-filter
+table): for IN-LOOP round filtering the scan-shaped exact anti-join
+(``frontier.anti_join_scan``) is already the floor — one map-side scan
+of seen per round — and the bloom split beats it slightly because its
+bitmap persists in executor memory. This cuckoo table cannot beat that
+floor in a scan engine (its probe scans the filter table AND maybe-hits
+still confirm against seen); its value is what a bloom cannot do:
+fingerprint DELETION, and serving membership probes off bucketed
+STORAGE with no driver-held state. Prefer ``use_bloom=True`` for
+crawls; use this for deletable/externally-served seen sets.
 """
 
 from __future__ import annotations
