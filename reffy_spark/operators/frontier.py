@@ -151,6 +151,24 @@ def fold_bloom(bloom: Bloom, df: DataFrame, key: str = "url_canon") -> Bloom:
     return bloom
 
 
+# below this Catalyst-estimated size, shuffling the seen set is cheaper
+# than the scan shape's extra broadcast round-trips; above it (or when
+# the estimate is unknown — crawl round state is lineage-truncated and
+# reports no stats, and a crawl's seen set is the thing that GROWS), the
+# scan shape wins and keeps winning as seen grows
+_SCAN_ANTI_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _estimated_bytes(df: DataFrame) -> "int | None":
+    """Catalyst optimized-plan size estimate; None when unavailable or
+    the unknown-size sentinel (same contract as temporal._estimated_bytes)."""
+    try:
+        b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return None if b >= (1 << 62) else b
+    except Exception:  # pragma: no cover
+        return None
+
+
 def anti_join_scan(
     left: DataFrame, seen: DataFrame, key: str = "url_canon"
 ) -> DataFrame:
@@ -165,7 +183,17 @@ def anti_join_scan(
     prunable when the seen state is stored bucketed on the key — then
     anti-join ``left`` against the (candidate-bounded, broadcast) hit
     set. Identical answer to the plain anti-join, row-preserving,
-    null-key rows kept on the left like left_anti."""
+    null-key rows kept on the left like left_anti.
+
+    Small seen sets (Catalyst estimate < 64 MB) keep the plain
+    anti-join — the scan shape's two broadcast round-trips cost a flat
+    ~1 s that a trivial shuffle doesn't (r7 bench: urlseen_antijoin
+    1.6× at sf0.1 before this routing). Unknown estimates route to the
+    scan shape: crawl round state is lineage-truncated (no stats) and
+    is exactly the side that grows."""
+    est = _estimated_bytes(seen)
+    if est is not None and est < _SCAN_ANTI_MIN_BYTES:
+        return left.join(seen.select(key), on=key, how="left_anti")
     keys = left.select(key).distinct()
     hits = seen.select(key).join(F.broadcast(keys), on=key, how="left_semi")
     return left.join(F.broadcast(hits), on=key, how="left_anti")
