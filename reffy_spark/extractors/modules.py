@@ -429,7 +429,15 @@ def _html_prose_definition(prose_el: Element, ctx) -> str:
     (drop informative subtrees; comments never enter our tree), keep only
     simple grouping/text-level elements, drop all attributes except
     href (absolutized against the page URL), dir, lang and title;
-    innerHTML, trimmed."""
+    innerHTML, trimmed.
+
+    NOTE: sibling walker of ``_serialize_html`` (the algorithms
+    serializer) — deliberately separate because the emission rules
+    differ on four axes (tag whitelist-with-subtree-drop vs keep-all,
+    attr whitelist vs keep-all, unconditional vs relative-only href
+    absolutization, no src handling); a fix to the shared mechanics
+    (escaping, void elements, data-reffy-page base) must be applied to
+    BOTH."""
     page_el = prose_el.closest("[data-reffy-page]")
     base = page_el.get("data-reffy-page") if page_el is not None else ctx.url
     out: list[str] = []
@@ -1650,7 +1658,10 @@ def _serialize_html(el: Element, ctx, drop_ol: bool = False) -> str:
     """innerHTML of ``el`` after cloneAndClean (informative subtrees and
     comments dropped; comments never enter our tree), optionally dropping
     <ol> descendants, with relative href/src made absolute
-    (extract-algorithms.mjs getHTMLContent:311-335)."""
+    (extract-algorithms.mjs getHTMLContent:311-335).
+
+    NOTE: sibling walker of ``_html_prose_definition`` — see the note
+    there; fixes to the shared mechanics must be applied to BOTH."""
     page_el = el.closest("[data-reffy-page]")
     base = page_el.get("data-reffy-page") if page_el is not None else ctx.url
     out: list[str] = []

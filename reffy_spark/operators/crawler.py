@@ -316,7 +316,9 @@ class CrawlEngine:
             .join(F.broadcast(offsets), "_pid")
             .withColumn(
                 "seed_idx",
-                (F.col("_off") + F.col("_lrn") - 1).cast("int"),
+                # long: webtext-scale seed lists pass 2^31-1 rows
+                # (matches sources.seeds.with_input_order_index)
+                (F.col("_off") + F.col("_lrn") - 1).cast("long"),
             )
             .drop("_pid", "_lrn", "_off")
         )
@@ -334,7 +336,7 @@ class CrawlEngine:
         if "seed_idx" not in seeds.columns:
             seeds = self._seed_index(seeds)
         frontier = FR.to_frontier(
-            seeds.select("url", F.col("seed_idx").cast("int")),
+            seeds.select("url", F.col("seed_idx").cast("long")),
             round_no=0,
             assume_canonical_unique=self.assume_seeds_unique,
         )
@@ -757,7 +759,7 @@ class CrawlEngine:
                 discovered = links_long(round_results.filter(F.col("status") == "ok"))
                 candidates = discovered.select(
                     F.col("page_url").alias("url")
-                ).withColumn("seed_idx", F.lit(None).cast("int"))
+                ).withColumn("seed_idx", F.lit(None).cast("long"))
                 next_depth = F.lit(rnd)  # BFS depth == first reachable round
                 cand = FR.to_frontier(candidates, depth_col=next_depth, round_no=rnd)
                 cand = FR.apply_robots(cand, self.robots)
@@ -806,8 +808,18 @@ class CrawlEngine:
                             # returns None past BLOOM_MAX_ITEMS → plain
                             # anti-join from then on (cap=inf stops the
                             # per-round retry)
+                            # clamp the hint to the bloom's own ceiling: a
+                            # crawl budget above BLOOM_MAX_ITEMS must not
+                            # disable the filter while the ACTUAL seen set
+                            # is still small (epoch rebuilds take over, and
+                            # build_bloom returning None past the ceiling
+                            # on real growth still retires it cleanly)
                             cap_t = max(
-                                seen_count * 2, self.seen_capacity_hint or 0
+                                seen_count * 2,
+                                min(
+                                    self.seen_capacity_hint or 0,
+                                    FR.BLOOM_MAX_ITEMS,
+                                ),
                             )
                             bloom = FR.build_bloom(seen, n_items=cap_t)
                             bloom_cap = (

@@ -214,7 +214,13 @@ class CuckooState:
         m: int,
         capacity: int,
         n_items: int,
+        gen: int = 0,
     ):
+        # monotonically increasing commit generation: every materialized()
+        # call writes under a DISTINCT name, so a durable (parquet)
+        # materializer never overwrites a path the commit's own plan is
+        # reading (epoch build + first insert land in the SAME round)
+        self.gen = gen
         self.parts = parts
         self.stash_parts = stash_parts
         self.m = m
@@ -327,6 +333,7 @@ class CuckooState:
             self.m,
             cap,
             self.n_items + n_new,
+            gen=self.gen,
         )
 
     def maybe_seen(self, candidates: DataFrame, url_col: str = "url_canon") -> DataFrame:
@@ -363,16 +370,22 @@ class CuckooState:
 
         parts = list(self.parts)
         stash_parts = list(self.stash_parts)
+        gen = self.gen + 1
         if len(parts) >= self.COMPACT_EVERY:
-            t, s = split(fn(combine(self.table, self.stash), "cuckoo_state"))
+            t, s = split(
+                fn(combine(self.table, self.stash), f"cuckoo_state_g{gen}")
+            )
             parts, stash_parts = [t], [s]
         else:
             t, s = split(
-                fn(combine(parts[-1], stash_parts[-1]), "cuckoo_state_delta")
+                fn(
+                    combine(parts[-1], stash_parts[-1]),
+                    f"cuckoo_state_delta_g{gen}",
+                )
             )
             parts[-1], stash_parts[-1] = t, s
         return CuckooState(
-            parts, stash_parts, self.m, self.capacity, self.n_items
+            parts, stash_parts, self.m, self.capacity, self.n_items, gen=gen
         )
 
 

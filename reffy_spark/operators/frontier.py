@@ -158,15 +158,12 @@ def fold_bloom(bloom: Bloom, df: DataFrame, key: str = "url_canon") -> Bloom:
 # scan shape wins and keeps winning as seen grows
 _SCAN_ANTI_MIN_BYTES = 64 * 1024 * 1024
 
+# a left/candidate side estimated above this is not broadcastable — the
+# scan shape's premise fails and the plain shuffle anti-join is correct
+_SCAN_ANTI_MAX_LEFT_BYTES = 256 * 1024 * 1024
 
-def _estimated_bytes(df: DataFrame) -> "int | None":
-    """Catalyst optimized-plan size estimate; None when unavailable or
-    the unknown-size sentinel (same contract as temporal._estimated_bytes)."""
-    try:
-        b = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        return None if b >= (1 << 62) else b
-    except Exception:  # pragma: no cover
-        return None
+
+from reffy_spark.plan_stats import estimated_bytes as _estimated_bytes
 
 
 def anti_join_scan(
@@ -188,11 +185,17 @@ def anti_join_scan(
     Small seen sets (Catalyst estimate < 64 MB) keep the plain
     anti-join — the scan shape's two broadcast round-trips cost a flat
     ~1 s that a trivial shuffle doesn't (r7 bench: urlseen_antijoin
-    1.6× at sf0.1 before this routing). Unknown estimates route to the
-    scan shape: crawl round state is lineage-truncated (no stats) and
-    is exactly the side that grows."""
+    1.6× at sf0.1 before this routing). A LEFT side that is itself
+    estimated large (> 256 MB — not broadcastable) also keeps the plain
+    shuffle: the scan shape's premise is a round-bounded candidate set.
+    Unknown estimates route to the scan shape: crawl round state is
+    lineage-truncated (no stats), its candidates are round-bounded by
+    construction, and seen is exactly the side that grows."""
     est = _estimated_bytes(seen)
     if est is not None and est < _SCAN_ANTI_MIN_BYTES:
+        return left.join(seen.select(key), on=key, how="left_anti")
+    left_est = _estimated_bytes(left)
+    if left_est is not None and left_est > _SCAN_ANTI_MAX_LEFT_BYTES:
         return left.join(seen.select(key), on=key, how="left_anti")
     keys = left.select(key).distinct()
     hits = seen.select(key).join(F.broadcast(keys), on=key, how="left_semi")

@@ -30,6 +30,15 @@ from pyspark.sql import functions as F
 # (localCheckpoint is not resilient to executor loss; on a real cluster
 # a long-lived pipeline should set a reliable checkpoint dir and swap
 # checkpoint() in — same single-line site, both operators.)
+#
+# Costs of this contract, accepted deliberately: (a) every skewsafe call
+# runs one eager job for the working set even if the returned plan is
+# never evaluated — callers constructing plans purely to inspect them
+# should use the direct twins; (b) checkpointed blocks are released by
+# the ContextCleaner when the returned DataFrame is garbage-collected,
+# not eagerly — a tight loop over many inputs holds at most the blocks
+# of results still referenced (drop references, or call
+# spark.sparkContext._jvm.System.gc() in pathological loops).
 
 
 def _sliced(df: DataFrame, num_parts: int, *cols) -> DataFrame:
@@ -51,26 +60,10 @@ def _sliced(df: DataFrame, num_parts: int, *cols) -> DataFrame:
 _SKEW_SAFE_AUTO_BYTES = 256 * 1024 * 1024
 
 
-# Catalyst reports UNKNOWN-size leaves as spark.sql.defaultSizeInBytes,
-# which defaults to Long.MaxValue (so unknown sides never broadcast);
-# anything at or above this cutoff is "no estimate", not "huge"
-_SIZE_UNKNOWN_CUTOFF = 1 << 62
-
-
-def _estimated_bytes(df: DataFrame) -> int | None:
-    """Catalyst's optimized-plan size estimate (file sizes for scans,
-    propagated through operators). None when the JVM call fails or the
-    estimate is the unknown-size sentinel (local/python-backed frames) —
-    callers treat unknown as small: file-backed production inputs carry
-    real stats, and the direct plan is still CORRECT for the rest, just
-    not skew-proof (pass skew_safe=True to force)."""
-    try:
-        b = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        return None if b >= _SIZE_UNKNOWN_CUTOFF else b
-    except Exception:
-        return None
+# Unknown estimates are treated as SMALL here: file-backed production
+# inputs carry real stats, and the direct plan is still CORRECT for the
+# rest, just not skew-proof (pass skew_safe=True to force).
+from reffy_spark.plan_stats import estimated_bytes as _estimated_bytes
 
 
 def _route_skew_safe(skew_safe, *frames: DataFrame) -> bool:

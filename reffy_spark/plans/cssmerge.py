@@ -458,24 +458,9 @@ def _cssmerge_report_df(
 
 
 def write_cssmerge_report(report_df, out_dir: str):
-    """Executor-side per-category JSON emission (mapInPandas) — the
-    scale path writes ``{out_dir}/{category}.json`` without any report
-    bytes crossing the driver. Returns (category, path); evaluate to
-    write. ``out_dir`` must be shared storage on a real cluster."""
-    import os
+    """Executor-side per-category JSON emission — the scale path writes
+    ``{out_dir}/{category}.json`` without any report bytes crossing the
+    driver. Returns (category, path); evaluate to write."""
+    from reffy_spark.plans.report_io import write_json_reports
 
-    import pandas as pd
-
-    os.makedirs(out_dir, exist_ok=True)
-
-    def emit(batches):
-        for pdf in batches:
-            paths = []
-            for cat, report in zip(pdf["category"], pdf["report"]):
-                p = os.path.join(out_dir, f"{cat}.json")
-                with open(p, "w", encoding="utf-8") as fh:
-                    fh.write(report)
-                paths.append(p)
-            yield pd.DataFrame({"category": pdf["category"], "path": paths})
-
-    return report_df.mapInPandas(emit, "category string, path string")
+    return write_json_reports(report_df, out_dir, "category")

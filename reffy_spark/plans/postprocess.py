@@ -1578,7 +1578,10 @@ def _backrefs_report_df(matched: DataFrame) -> DataFrame:
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("dfn_idx", "term"))),
                     lambda x: x["term"],
-                )
+                ),
+                # keep null fields: the reference emits every dfn key
+                # even when null, and to_json drops them by default
+                {"ignoreNullFields": "false"},
             ).alias("report")
         )
     )
@@ -1586,28 +1589,11 @@ def _backrefs_report_df(matched: DataFrame) -> DataFrame:
 
 def write_backrefs_reports(report_df: DataFrame, out_dir: str) -> DataFrame:
     """Executor-side per-spec JSON emission over the relational report
-    (mapInPandas — the scale path: no report bytes ever reach the
-    driver; ``out_dir`` must be shared storage on a real cluster).
-    Returns (def_shortname, path); evaluate to write."""
-    import os
+    — the scale path: no report bytes ever reach the driver. Returns
+    (def_shortname, path); evaluate to write."""
+    from reffy_spark.plans.report_io import write_json_reports
 
-    import pandas as pd
-
-    os.makedirs(out_dir, exist_ok=True)
-
-    def emit(batches):
-        for pdf in batches:
-            paths = []
-            for shortname, report in zip(pdf["def_shortname"], pdf["report"]):
-                p = os.path.join(out_dir, f"{shortname}.json")
-                with open(p, "w", encoding="utf-8") as fh:
-                    fh.write(report)
-                paths.append(p)
-            yield pd.DataFrame(
-                {"def_shortname": pdf["def_shortname"], "path": paths}
-            )
-
-    return report_df.mapInPandas(emit, "def_shortname string, path string")
+    return write_json_reports(report_df, out_dir, "def_shortname")
 
 
 def idlparsed_run(spec: dict, ast: bool = False) -> dict:

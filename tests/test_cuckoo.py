@@ -187,10 +187,17 @@ def test_materialize_commits_delta_only_then_compacts(spark):
     for i in range(n_ins):
         st = st.insert(_urls(spark, 5, tag=f"t{i}"), 5).materialized(fn)
     # ONE combined commit per round (placed + stash share the insert
-    # lineage); a compaction commit appears at COMPACT_EVERY
-    assert "cuckoo_state_delta" in names and "cuckoo_state" in names
-    per_round = [n for n in names if n == "cuckoo_state_delta"]
-    assert len(per_round) == n_ins - 1  # every round but the compacting one
+    # lineage); a compaction commit appears at COMPACT_EVERY; every
+    # commit name carries a distinct generation so a durable (parquet)
+    # materializer never overwrites a path its own plan reads
+    deltas = [n for n in names if n.startswith("cuckoo_state_delta_g")]
+    compacts = [
+        n for n in names
+        if n.startswith("cuckoo_state_g") and "delta" not in n
+    ]
+    assert len(deltas) == n_ins - 1  # every round but the compacting one
+    assert len(compacts) == 1
+    assert len(set(names)) == len(names)  # no name ever reused
     # compaction fired when parts hit COMPACT_EVERY (insert 15), leaving
     # one compacted frame plus the single delta committed since
     assert len(st.parts) == 2
