@@ -36,7 +36,9 @@ _ASIDE_SELECTOR = "aside, .mdn-anno, .wpt-tests-block, .annotation"
 
 
 def is_informative(el: Element) -> bool:
-    return el.closest(INFORMATIVE_SELECTOR) is not None
+    # within() = interval-cached closest-is-not-None (one query_all per
+    # document, bisect per call — this predicate runs per dfn/id/link)
+    return el.within(INFORMATIVE_SELECTOR)
 
 
 def clean_text(el: Element, drop_selector: str = _ASIDE_SELECTOR) -> str:

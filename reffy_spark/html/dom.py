@@ -13,6 +13,7 @@ never shipped between stages (SURVEY.md §1.1 "Page DOM").
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 from html.parser import HTMLParser
 
 VOID_ELEMENTS = frozenset(
@@ -24,7 +25,10 @@ _AUTOCLOSE_SIBLING = frozenset("li dt dd tr td th option p".split())
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "pos", "_text_parts")
+    __slots__ = (
+        "tag", "attrs", "children", "parent", "pos", "_text_parts",
+        "_end", "_doc", "_classes",
+    )
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None", pos: int):
         self.tag = tag
@@ -33,6 +37,12 @@ class Element:
         self.parent = parent
         self.pos = pos  # document order (open-tag index)
         self._text_parts = None
+        # subtree-max pos (set by the doc index; pre-order contiguity:
+        # descendants of X are exactly pos in (X.pos, X._end])
+        self._end = pos
+        # on #root only: lazily-built document index (see _doc_index)
+        self._doc = None
+        self._classes = None  # cached frozenset of class names
 
     # -- tree --------------------------------------------------------------
     def iter(self):
@@ -86,8 +96,18 @@ class Element:
     def classes(self) -> list[str]:
         return self.attrs.get("class", "").split()
 
+    @property
+    def class_set(self) -> frozenset[str]:
+        """Cached class-name set (the class attribute is never mutated
+        post-parse — the one attrs mutation in the extractor suite is
+        data-dfn-type)."""
+        cs = self._classes
+        if cs is None:
+            cs = self._classes = frozenset(self.attrs.get("class", "").split())
+        return cs
+
     def has_class(self, name: str) -> bool:
-        return name in self.classes
+        return name in self.class_set
 
     # -- text ---------------------------------------------------------------
     @property
@@ -105,11 +125,47 @@ class Element:
 
     # -- selectors ------------------------------------------------------------
     def matches(self, selector: str) -> bool:
-        return any(
-            _matches_compound(self, compound[-1])
-            and _matches_combinators(self, compound)
-            for compound in _parse_selector(selector)
-        )
+        for compound in _parse_selector(selector):
+            if _matches_simple(self, compound[-1][1]) and _matches_combinators(
+                self, compound
+            ):
+                return True
+        return False
+
+    def within(self, selector: str) -> bool:
+        """True iff ``closest(selector)`` would hit — ancestor-or-self
+        matches. Attached documents answer from per-selector merged
+        subtree intervals cached on the #root index (one query_all per
+        document per selector, O(log n) bisect per call); detached
+        fragments fall back to the ancestor walk.
+
+        CONTRACT: the selector's outcome must be stable over the
+        document's lifetime — fine for tag/class/id structure (never
+        mutated post-parse); do NOT use with selectors over mutable
+        attributes (the extractor suite mutates exactly one attribute,
+        data-dfn-type — route those through closest())."""
+        root: Element = self
+        while root.parent is not None:
+            root = root.parent
+        if root.tag != "#root":
+            return self.closest(selector) is not None
+        cache = _doc_index(root)[4]
+        iv = cache.get(selector)
+        if iv is None:
+            starts: list[int] = []
+            ends: list[int] = []
+            for m in root.query_all(selector):  # document order
+                if starts and m.pos <= ends[-1]:  # nested/adjacent: merge
+                    if m._end > ends[-1]:
+                        ends[-1] = m._end
+                else:
+                    starts.append(m.pos)
+                    ends.append(m._end)
+            iv = (starts, ends)
+            cache[selector] = iv
+        starts, ends = iv
+        i = bisect_right(starts, self.pos) - 1
+        return i >= 0 and self.pos <= ends[i]
 
     def closest(self, selector: str) -> "Element | None":
         node: Element | None = self
@@ -121,6 +177,69 @@ class Element:
 
     def query_all(self, selector: str) -> list["Element"]:
         compounds = _parse_selector(selector)
+        root: Element = self
+        while root.parent is not None:
+            root = root.parent
+        if root.tag != "#root":
+            # detached fragment (e.g. the synthetic intro container in
+            # extract-algorithms): no index home, walk it
+            return self._query_all_walk(compounds)
+        flat, by_tag, pos_by_tag, all_pos, _, by_class, pos_by_class = (
+            _doc_index(root)
+        )
+        is_root = self is root
+        multi = len(compounds) > 1
+        out: list[Element] = []
+        seen: set[int] | None = set() if multi else None
+        for chain in compounds:
+            simple = chain[-1][1]
+            tag = simple[0]
+            if tag is not None:
+                cands = by_tag.get(tag)
+                if cands is None:
+                    continue
+                poss = pos_by_tag[tag]
+            else:
+                cls = next(
+                    (k for kind, k, _ in simple[1] if kind == "class"), None
+                )
+                if cls is not None:
+                    cands = by_class.get(cls)
+                    if cands is None:
+                        continue
+                    poss = pos_by_class[cls]
+                else:
+                    cands, poss = flat, all_pos
+            if not is_root:
+                lo = bisect_right(poss, self.pos)
+                hi = bisect_right(poss, self._end)
+                cands = cands[lo:hi]
+            if len(chain) == 1:
+                if not simple[1]:  # bare tag: the bucket IS the answer
+                    matched = list(cands)
+                else:
+                    matched = [
+                        el for el in cands if _matches_simple(el, simple)
+                    ]
+            else:
+                matched = [
+                    el
+                    for el in cands
+                    if _matches_simple(el, simple)
+                    and _matches_combinators(el, chain)
+                ]
+            if multi:
+                for el in matched:
+                    if el.pos not in seen:
+                        seen.add(el.pos)
+                        out.append(el)
+            else:
+                out = matched
+        if multi:
+            out.sort(key=_pos_key)
+        return out
+
+    def _query_all_walk(self, compounds) -> list["Element"]:
         out = []
         for el in self.iter():
             for compound in compounds:
@@ -135,6 +254,64 @@ class Element:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<{self.tag} id={self.attrs.get('id')!r} pos={self.pos}>"
+
+
+def _pos_key(el: Element) -> int:
+    return el.pos
+
+
+def _doc_index(root: Element):
+    """Lazily build (and cache on #root) the per-document query index:
+    flat pre-order element list, per-tag buckets, bisectable position
+    arrays, and subtree-max positions (``_end``).
+
+    SAFE because the tree is never structurally mutated after
+    ``parse_html`` returns (the one synthetic-container site in
+    extract-algorithms builds a DETACHED div, which routes to the
+    fallback walk). Positions are open-tag order == pre-order, so a
+    subtree is the contiguous pos range (X.pos, X._end]."""
+    doc = root._doc
+    if doc is None:
+        flat = list(root.iter())
+        # subtree-max pos: children follow parents in pre-order, so a
+        # reverse sweep finishes every child before its parent reads it
+        for el in flat:
+            el._end = el.pos
+        for el in reversed(flat):
+            p = el.parent
+            if p is not None and el._end > p._end:
+                p._end = el._end
+        by_tag: dict[str, list[Element]] = {}
+        by_class: dict[str, list[Element]] = {}
+        for el in flat:
+            b = by_tag.get(el.tag)
+            if b is None:
+                by_tag[el.tag] = [el]
+            else:
+                b.append(el)
+            if "class" in el.attrs:
+                for c in el.class_set:
+                    cb = by_class.get(c)
+                    if cb is None:
+                        by_class[c] = [el]
+                    else:
+                        cb.append(el)
+        pos_by_tag = {t: [e.pos for e in els] for t, els in by_tag.items()}
+        pos_by_class = {
+            c: [e.pos for e in els] for c, els in by_class.items()
+        }
+        # [4]: per-selector merged subtree intervals for within()
+        doc = (
+            flat,
+            by_tag,
+            pos_by_tag,
+            [e.pos for e in flat],
+            {},
+            by_class,
+            pos_by_class,
+        )
+        root._doc = doc
+    return doc
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +391,7 @@ def _matches_simple(el: Element, simple) -> bool:
         return False
     for kind, k, v in conds:
         if kind == "class":
-            if k not in el.classes:
+            if k not in el.class_set:
                 return False
         elif kind == "id":
             if el.attrs.get("id") != k:
