@@ -113,21 +113,14 @@ def map_ids_to_headings(ctx) -> dict:
 
     _outline, node_to_section = create_outline(root)
 
-    mapping: dict[str, dict] = {}
-    for el in root.iter():
-        attr = "id" if el.get("id") else ("name" if el.get("name") else None)
-        if attr is None:
-            continue
-        section = node_to_section.get(el)
-        # bubble implied-heading sections up to a real heading
-        while section is not None and section.heading == IMPLIED:
-            section = section.parent
-        if section is None or not isinstance(section.heading, Element):
-            continue
-        nodeid = get_absolute_url(el, ctx, attribute=attr)
-        href = nodeid
+    # the heading record depends only on the (bubbled) section, not on
+    # the id-bearing element — compute once per section, share the dict
+    # (never mutated after; many ids map to the same section)
+    sec_rec: dict[int, dict] = {}
 
+    def _section_record(section) -> dict:
         heading = section.heading
+        href = None
         ids: list[str] = []
         anchor = heading.query("a[name]")
         if anchor is not None:
@@ -146,12 +139,34 @@ def map_ids_to_headings(ctx) -> dict:
         rec: dict = {}
         if ids:
             rec["id"] = ids.pop()
-        rec["href"] = href
+        rec["href"] = href  # None → caller substitutes the node's own url
         rec["title"] = RE_NUMBER.sub("", text, count=1)
         if ids:
             rec["alternateIds"] = ids
         if number:
-            rec["number"] = re.sub(r"^Appendix ", "", re.sub(r"[.:]$", "", number))
+            rec["number"] = re.sub(
+                r"^Appendix ", "", re.sub(r"[.:]$", "", number)
+            )
+        return rec
+
+    mapping: dict[str, dict] = {}
+    for el in root.iter():
+        attr = "id" if el.get("id") else ("name" if el.get("name") else None)
+        if attr is None:
+            continue
+        section = node_to_section.get(el)
+        # bubble implied-heading sections up to a real heading
+        while section is not None and section.heading == IMPLIED:
+            section = section.parent
+        if section is None or not isinstance(section.heading, Element):
+            continue
+        nodeid = get_absolute_url(el, ctx, attribute=attr)
+        key = id(section)
+        rec = sec_rec.get(key)
+        if rec is None:
+            rec = sec_rec[key] = _section_record(section)
+        if rec["href"] is None:
+            rec = {**rec, "href": nodeid}
         mapping[nodeid] = rec
     return mapping
 

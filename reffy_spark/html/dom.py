@@ -491,8 +491,158 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(data)
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer: one compiled regex over the document, building the same
+# tree as _TreeBuilder (pinned by tests/test_dom.py equivalence tests).
+# ~2x the stdlib HTMLParser on spec HTML; stdlib semantics replicated:
+# charrefs decoded in data and attr values (html.unescape, the same
+# function HTMLParser uses), script/style raw-text (no decode, no tags),
+# comments/doctype/PIs dropped, lone '<' before a non-tag char is text.
+# ---------------------------------------------------------------------------
+
+# start tag, mirroring stdlib html.parser's locatestarttagend_tolerant
+# (the tolerant attr blob, incl. quoted '>' and junk attr names) with the
+# closing '>' / '/>' folded in
+_START_RE = re.compile(
+    r"<([a-zA-Z][^\t\n\r\f />\x00]*)"  # tag name -> 1
+    r"((?:(?:\s|/(?!>))*"  # attr blob -> 2 (never eats the '/' of '/>')
+    r"(?:(?<=['\"\s/])[^\s/>][^\s/=>]*"  # attr name
+    r"(?:\s*=+\s*"
+    r"(?:'[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*)"
+    r"(?:\s*,)*"
+    r")?(?:\s|/(?!>))*"
+    r")*)?)"
+    r"\s*(/?)>",  # self-closing -> 3
+)
+# stdlib attrfind_tolerant
+_ATTR_RE = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"(\'[^\']*\'|\"[^\"]*\"|(?![\'\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+# stdlib endtagfind (strict) and tagfind_tolerant for the lenient path
+_END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_END_TOLERANT_RE = re.compile(r"</([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>")
+# stdlib CDATA_CONTENT_ELEMENTS: script/style only
+_RAWTEXT_END = {
+    t: re.compile(r"</\s*" + t, re.IGNORECASE) for t in ("script", "style")
+}
+_CDATA_ELEMS = frozenset(_RAWTEXT_END)
+
+from html import unescape as _unescape
+
+
+def _fast_parse(html: str) -> Element:
+    root = Element("#root", {}, None, -1)
+    stack = [root]
+    counter = 0
+    pos = 0
+    n = len(html)
+    find = html.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            data = html[pos:]
+            stack[-1].children.append(
+                _unescape(data) if "&" in data else data
+            )
+            break
+        if lt > pos:
+            data = html[pos:lt]
+            stack[-1].children.append(
+                _unescape(data) if "&" in data else data
+            )
+        nxt = html[lt + 1 : lt + 2]
+        if nxt.isalpha():
+            m = _START_RE.match(html, lt)
+            if m is None:
+                # incomplete/mangled start tag: stdlib degrades to data;
+                # we emit the '<' and keep scanning (divergence only on
+                # inputs stdlib also mangles)
+                stack[-1].children.append("<")
+                pos = lt + 1
+                continue
+            pos = m.end()
+            tag = m.group(1).lower()
+            attrs: dict[str, str] = {}
+            raw_attrs = m.group(2)
+            if raw_attrs:
+                for am in _ATTR_RE.finditer(raw_attrs):
+                    k = am.group(1).lower()
+                    v = am.group(3)
+                    if v is None:
+                        v = ""
+                    else:
+                        if v[:1] in "\"'":
+                            v = v[1:-1]
+                        if "&" in v:
+                            v = _unescape(v)
+                    attrs[k] = v  # duplicate attr: last wins (as builder)
+            top = stack[-1]
+            if tag in _AUTOCLOSE_SIBLING and top.tag == tag:
+                stack.pop()
+            elif tag in ("td", "th") and top.tag in ("td", "th"):
+                stack.pop()
+            elif tag == "tr" and top.tag in ("td", "th"):
+                stack.pop()
+                if stack[-1].tag == "tr":
+                    stack.pop()
+            el = Element(tag, attrs, stack[-1], counter)
+            counter += 1
+            stack[-1].children.append(el)
+            if not m.group(3) and tag not in VOID_ELEMENTS:
+                stack.append(el)
+                if tag in _CDATA_ELEMS:
+                    # raw text: no tags, no charref decoding (stdlib
+                    # CDATA_CONTENT_ELEMENTS behavior)
+                    endm = _RAWTEXT_END[tag].search(html, pos)
+                    end_at = endm.start() if endm else n
+                    if end_at > pos:
+                        el.children.append(html[pos:end_at])
+                    pos = end_at  # the end tag parses on the next loop
+        elif nxt == "/":
+            m = _END_RE.match(html, lt) or _END_TOLERANT_RE.match(html, lt)
+            if m is not None:
+                pos = m.end()
+                tag = m.group(1).lower()
+                if tag not in VOID_ELEMENTS:
+                    for i in range(len(stack) - 1, 0, -1):
+                        if stack[i].tag == tag:
+                            del stack[i:]
+                            break
+            elif html.startswith("</>", lt):
+                pos = lt + 3  # stdlib: ignored
+            else:
+                gt = find(">", lt)  # bogus comment, dropped
+                pos = gt + 1 if gt >= 0 else n
+        elif nxt == "!":
+            if html.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                pos = end + 3 if end >= 0 else n
+            elif html.startswith("<![", lt):
+                end = find("]>", lt + 3)
+                pos = end + 2 if end >= 0 else n
+            else:  # doctype / decl
+                gt = find(">", lt)
+                pos = gt + 1 if gt >= 0 else n
+        elif nxt == "?":
+            gt = find(">", lt)
+            pos = gt + 1 if gt >= 0 else n
+        else:
+            stack[-1].children.append("<")
+            pos = lt + 1
+    return root
+
+
 def parse_html(html: str | bytes) -> Element:
     """Parse HTML into an element tree; returns the #root pseudo-element."""
+    if isinstance(html, (bytes, bytearray)):
+        html = html.decode("utf-8", errors="replace")
+    return _fast_parse(html)
+
+
+def parse_html_stdlib(html: str | bytes) -> Element:
+    """stdlib html.parser reference builder — kept as the equivalence
+    oracle for the fast tokenizer (tests/test_dom.py)."""
     if isinstance(html, (bytes, bytearray)):
         html = html.decode("utf-8", errors="replace")
     builder = _TreeBuilder()

@@ -140,3 +140,110 @@ def test_detached_fragment_falls_back():
         frag.children.append(c)
     assert [e.tag for e in frag.query_all("p, span")] == ["p", "span"]
     assert frag.query_all(".note")[0].tag == "p"
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer ≡ stdlib html.parser builder (parse_html vs
+# parse_html_stdlib) — tree equivalence over goldens, synthetic pages,
+# and randomized messy HTML
+# ---------------------------------------------------------------------------
+
+from reffy_spark.html.dom import parse_html_stdlib
+
+
+def _tree_sig(el):
+    """(tag, attrs, children) with adjacent text runs merged — text-run
+    boundaries differ between the two parsers but concatenation must
+    not."""
+    kids = []
+    buf = []
+    for c in el.children:
+        if isinstance(c, str):
+            buf.append(c)
+        else:
+            if buf:
+                kids.append("".join(buf))
+                buf = []
+            kids.append(_tree_sig(c))
+    if buf:
+        kids.append("".join(buf))
+    return (el.tag, dict(el.attrs), kids)
+
+
+def _assert_equiv(html):
+    assert _tree_sig(parse_html(html)) == _tree_sig(parse_html_stdlib(html)), (
+        f"parser divergence on: {html[:300]!r}"
+    )
+
+
+def test_fast_parser_matches_stdlib_on_goldens():
+    import json
+    import os
+
+    gold_dir = os.path.join(os.path.dirname(__file__), "data", "reference_goldens")
+    n = 0
+    for fn in sorted(os.listdir(gold_dir)):
+        if not fn.endswith(".json"):
+            continue
+        cases = json.load(open(os.path.join(gold_dir, fn)))
+        if not isinstance(cases, list):
+            continue
+        for case in cases:
+            html = case.get("html") if isinstance(case, dict) else None
+            if isinstance(html, str):
+                _assert_equiv(html)
+                n += 1
+    assert n > 100  # the corpus actually loaded
+
+
+def test_fast_parser_matches_stdlib_on_synthetic_pages():
+    from reffy_spark.sources.synthetic import page_html
+
+    for i in range(0, 50):
+        _assert_equiv(page_html(i, 1000))
+
+
+def test_fast_parser_matches_stdlib_on_messy_html():
+    cases = [
+        "plain text only",
+        "a &amp; b &lt;c&gt; &#65; &#x42; &notsemi",
+        "<p>unclosed <b>bold <i>both",
+        "<ul><li>a<li>b<li>c</ul>",
+        "<table><tr><td>a<td>b<tr><td>c</table>",
+        "<dl><dt>t<dd>d<dt>t2<dd>d2</dl>",
+        "<br><hr/><img src=x><input type=text>",
+        "<script>if (a < b && c) { d(); } // <p>not a tag</script><p>after",
+        "<style>a > b { color: red; } /* </div> tricks? no: */</style>ok",
+        "<SCRIPT>x</SCRIPT><DIV CLASS=Big>Y</DIV>",
+        "<!-- comment --><p>x<!-- multi\nline --></p>",
+        "<!DOCTYPE html><html><body><p>hi",
+        "<?xml version='1.0'?><p>pi dropped</p>",
+        '<a href="x&amp;y" title=\'q&quot;z\' data-n=5 checked>t</a>',
+        '<a href = "spaced" >t</a>',
+        "<p>3 < 5 and x<y sometimes</p>",
+        "<div/>self closed non-void<span>s</span>",
+        '<a b="1" b="2">dup attr</a>',
+        "<p>trailing <",
+        "<em>entity at end &amp",
+        "<p>a</p  ></div></p><p>b",
+        "<h1 id=title>Title</h1><section><h2>S</h2><p id=p1>body</p></section>",
+        "<td>orphan cell</td>",
+        "<option>one<option>two",
+        "text<>more",
+        "<p title=\"multi\nline attr\">x</p>",
+    ]
+    for html in cases:
+        _assert_equiv(html)
+
+    import random
+
+    rng = random.Random(13)
+    frags = [
+        "<div>", "</div>", "<p class='a b'>", "</p>", "<li>", "<span id=s>",
+        "</span>", "text&amp;", "plain ", "<br>", "<b>", "</b>", "<!--c-->",
+        "<script>v<1</script>", "&lt;", "<td>", "<tr>", "</table>", "<table>",
+        "&#65;", "<img src=x>", "</li>", "<i data-x='1'>", "</i>",
+    ]
+    for _ in range(200):
+        html = "".join(rng.choice(frags) for _ in range(rng.randint(1, 40)))
+        _assert_equiv(html)
