@@ -201,3 +201,51 @@ def test_encode_uri_component_roundtrip_and_ascii(s):
     for ch in enc:
         assert ch.isalnum() or ch in "-_.!~*'()%"
     assert unquote(enc) == s
+
+
+# ---------------------------------------------------------------------------
+# Fast HTML tokenizer ≡ stdlib builder on arbitrary tag soup. The two
+# parsers must build identical trees (merged-text signature) for ANY
+# input — the extraction UDFs run over crawled HTML, which is never
+# well-formed at webtext scale.
+# ---------------------------------------------------------------------------
+
+from reffy_spark.html.dom import parse_html, parse_html_stdlib
+
+
+def _dom_sig(el):
+    kids, buf = [], []
+    for c in el.children:
+        if isinstance(c, str):
+            buf.append(c)
+        else:
+            if buf:
+                kids.append("".join(buf))
+                buf = []
+            kids.append(_dom_sig(c))
+    if buf:
+        kids.append("".join(buf))
+    return (el.tag, dict(el.attrs), kids)
+
+
+_soup_atoms = st.one_of(
+    st.text(string.ascii_letters + string.digits + " \n&;#<>/='\"-", max_size=12),
+    st.sampled_from(
+        [
+            "<div>", "</div>", "<p class='x y'>", "</p>", "<li>", "<td>",
+            "<tr>", "<table>", "</table>", "<br>", "<b>", "</b>",
+            "<span id=s>", "</span>", "<script>a<b</script>",
+            "<style>p{}</style>", "<!--c-->", "<!DOCTYPE html>",
+            "&amp;", "&lt;", "&#65;", "&#x42;", "&bogus;", "&amp",
+            "<a href=\"x&amp;y\">", "</a>", "<img src=x>", "<input value='q'>",
+            "<dl><dt>t<dd>d", "<option>o", "<p title=\"m\nl\">",
+        ]
+    ),
+)
+
+
+@given(st.lists(_soup_atoms, min_size=0, max_size=25))
+@settings(max_examples=300, deadline=None)
+def test_fast_parser_equivalent_on_tag_soup(atoms):
+    html = "".join(atoms)
+    assert _dom_sig(parse_html(html)) == _dom_sig(parse_html_stdlib(html))
