@@ -58,13 +58,24 @@ def _rank(node: Element | str | None) -> float:
     return -100
 
 
-def create_outline(root: Element):
+# Tags whose enter()/exit_() can change walk state. Any element outside
+# this set that also carries no id/name/hidden attribute is a proven
+# no-op in the walk (never pushed, no branch taken, no mapping emitted).
+_RELEVANT_TAGS = HEADING_CONTENT | SECTIONING_CONTENT | SECTIONING_ROOT
+
+
+def create_outline(root: Element, dense: bool = False):
     """Build the outline rooted at ``root`` (treated as a sectioning root,
     as ``document.body`` is in the reference).
 
     Returns ``(outline, node_to_section)`` where outline is the root's
     section list and node_to_section maps id/name-bearing elements (plus
     sectioning elements) to their Section.
+
+    ``dense=True`` forces the full walk over every element (the literal
+    shape of create-outline.mjs:322-328); the default sparse walk visits
+    only relevant nodes and is equivalence-pinned to it by property
+    tests (tests/test_outline.py).
     """
     current_outline_target: Element | None = None
     current_section: Section | None = None
@@ -182,22 +193,59 @@ def create_outline(root: Element):
             if current_section is not None:
                 node_to_section[node] = current_section
 
-    # depth-first walk entering/exiting element nodes; HGROUP children are
-    # skipped (create-outline.mjs:322-328)
-    frames: list[tuple[Element, list[Element], int]] = []
+    if dense:
+        # full depth-first walk entering/exiting EVERY element node;
+        # HGROUP children are skipped (create-outline.mjs:322-328)
+        frames: list[tuple[Element, list[Element], int]] = []
+        enter(root)
+        frames.append(
+            (root, root.child_elements() if root.tag != "hgroup" else [], 0)
+        )
+        while frames:
+            node, kids, i = frames[-1]
+            if i < len(kids):
+                frames[-1] = (node, kids, i + 1)
+                child = kids[i]
+                enter(child)
+                frames.append(
+                    (child, child.child_elements() if child.tag != "hgroup" else [], 0)
+                )
+            else:
+                frames.pop()
+                exit_(node)
+        return node_to_outline.get(root, []), node_to_section
+
+    # Sparse walk: elements that are not sectioning/heading content and
+    # carry no id/name/hidden attribute are proven no-ops in enter()/
+    # exit_() (never pushed, change no state, emit no mapping), so only
+    # the RELEVANT nodes are visited, replaying the dense walk's exact
+    # event order from the doc index's pre-order positions + subtree-max
+    # ranges (descendant test: el.pos <= top._end). hgroup subtrees are
+    # excluded wholesale — the dense walk never descends into them.
+    from reffy_spark.html.dom import _doc_index
+
+    flat = _doc_index(root)[0]  # pre-order list; fresh ._end subtree ranges
     enter(root)
-    frames.append((root, root.child_elements() if root.tag != "hgroup" else [], 0))
-    while frames:
-        node, kids, i = frames[-1]
-        if i < len(kids):
-            frames[-1] = (node, kids, i + 1)
-            child = kids[i]
-            enter(child)
-            frames.append(
-                (child, child.child_elements() if child.tag != "hgroup" else [], 0)
-            )
-        else:
-            frames.pop()
-            exit_(node)
+    skip_until = -1
+    open_stack: list[Element] = []
+    for el in flat:
+        if el.pos <= skip_until:
+            continue
+        if not (
+            el.tag in _RELEVANT_TAGS
+            or "id" in el.attrs
+            or "name" in el.attrs
+            or "hidden" in el.attrs
+        ):
+            continue
+        if el.tag == "hgroup":
+            skip_until = el._end
+        while open_stack and open_stack[-1]._end < el.pos:
+            exit_(open_stack.pop())
+        enter(el)
+        open_stack.append(el)
+    while open_stack:
+        exit_(open_stack.pop())
+    exit_(root)
 
     return node_to_outline.get(root, []), node_to_section

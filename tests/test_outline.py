@@ -211,3 +211,84 @@ def test_td_creates_own_outline():
     )
     assert out == "0 - Main outline\n1 - A table\n1 - A chair"
     assert where == "Another outline"
+
+
+# ---------------------------------------------------------------------------
+# Sparse-walk equivalence: create_outline() visits only relevant nodes;
+# create_outline(dense=True) is the literal every-element walk. They must
+# produce identical outlines and node->section maps on arbitrary trees.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAGS = [
+    "div", "p", "span", "section", "article", "nav", "aside",
+    "blockquote", "td", "figure", "details", "h1", "h2", "h3", "h4",
+    "h5", "h6", "hgroup", "dfn", "a",
+]
+
+
+@st.composite
+def _tree_html(draw, depth=0):
+    tag = draw(st.sampled_from(_TAGS))
+    attrs = ""
+    if draw(st.integers(0, 3)) == 0:
+        attrs += f' id="i{draw(st.integers(0, 30))}"'
+    if draw(st.integers(0, 5)) == 0:
+        attrs += f' name="n{draw(st.integers(0, 9))}"'
+    if draw(st.integers(0, 7)) == 0:
+        attrs += " hidden"
+    kids = ""
+    if depth < 4:
+        kids = "".join(
+            draw(st.lists(_tree_html(depth=depth + 1), max_size=4))
+        )
+    text = draw(st.sampled_from(["", "x", "Title Text"]))
+    return f"<{tag}{attrs}>{text}{kids}</{tag}>"
+
+
+def _sec_canon(sec):
+    """Content+ancestry fingerprint of a Section (object identities differ
+    between the two walks, structure must not)."""
+    chain = []
+    s = sec
+    while s is not None:
+        h = s.heading
+        hkey = (
+            "implied" if h == IMPLIED
+            else None if h is None
+            else ("el", h.pos)
+        )
+        rkey = None if s.root is None else s.root.pos
+        chain.append((hkey, rkey, len(s.sub_sections), len(s.sub_roots)))
+        s = s.parent
+    return tuple(chain)
+
+
+def _outline_canon(outline):
+    return tuple(
+        (
+            "implied" if s.heading == IMPLIED
+            else None if s.heading is None
+            else ("el", s.heading.pos),
+            None if s.root is None else s.root.pos,
+            _outline_canon(s.sub_sections),
+            _outline_canon(s.sub_roots),
+        )
+        for s in outline
+    )
+
+
+@given(st.lists(_tree_html(), min_size=1, max_size=6))
+@settings(max_examples=120, deadline=None)
+def test_sparse_walk_equals_dense_walk(trees):
+    html = "<body>" + "".join(trees) + "</body>"
+    root = parse_html(html)
+    body = root.query("body") or root
+    d_out, d_map = create_outline(body, dense=True)
+    s_out, s_map = create_outline(body)
+    assert _outline_canon(s_out) == _outline_canon(d_out)
+    assert {e.pos for e in s_map} == {e.pos for e in d_map}
+    for el, sec in d_map.items():
+        assert _sec_canon(s_map[el]) == _sec_canon(sec)
