@@ -46,16 +46,19 @@ _JS_SAFE = frozenset(
 )
 
 
+# fast paths for encode_uri_component: all-safe strings pass through
+# untouched; otherwise one dict lookup per UTF-8 byte
+_JS_SAFE_RE = re.compile(r"[A-Za-z0-9_.!~*'()-]*\Z")
+_JS_ENC = {
+    b: (chr(b) if chr(b) in _JS_SAFE else f"%{b:02X}") for b in range(256)
+}
+
+
 def encode_uri_component(s: str) -> str:
     """Byte-parity reimplementation of JS ``encodeURIComponent``."""
-    out = []
-    for b in s.encode("utf-8"):
-        ch = chr(b)
-        if ch in _JS_SAFE:
-            out.append(ch)
-        else:
-            out.append(f"%{b:02X}")
-    return "".join(out)
+    if _JS_SAFE_RE.match(s):
+        return s
+    return "".join(map(_JS_ENC.__getitem__, s.encode("utf-8")))
 
 
 _PCT_RE = re.compile(r"%([0-9a-fA-F]{2})")

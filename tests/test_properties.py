@@ -203,6 +203,19 @@ def test_encode_uri_component_roundtrip_and_ascii(s):
     assert unquote(enc) == s
 
 
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_encode_uri_component_matches_byte_loop(s):
+    # the table/fast-path implementation ≡ the literal per-byte spec loop
+    from reffy_spark.functions.urls import _JS_SAFE
+
+    expect = "".join(
+        chr(b) if chr(b) in _JS_SAFE else f"%{b:02X}"
+        for b in s.encode("utf-8")
+    )
+    assert encode_uri_component(s) == expect
+
+
 # ---------------------------------------------------------------------------
 # Fast HTML tokenizer ≡ stdlib builder on arbitrary tag soup. The two
 # parsers must build identical trees (merged-text signature) for ANY
