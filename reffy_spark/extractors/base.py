@@ -80,8 +80,10 @@ class ExtractContext:
     def id_index(self) -> dict:
         """id → element map (getElementById), built once per page."""
         if self._id_index is None:
+            from reffy_spark.html.dom import iter_id_name
+
             index: dict = {}
-            for el in self.root.iter():
+            for el in iter_id_name(self.root):
                 eid = el.id
                 if eid and eid not in index:
                     index[eid] = el

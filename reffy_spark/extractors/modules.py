@@ -18,7 +18,7 @@ import re
 from reffy_spark.functions.text import normalize_ws_py as normalize
 from reffy_spark.functions.text import trim_spaces_py
 from reffy_spark.functions.urls import encode_uri_component
-from reffy_spark.html.dom import Element
+from reffy_spark.html.dom import Element, iter_id_name
 
 # ---------------------------------------------------------------------------
 # Shared helpers
@@ -150,7 +150,7 @@ def map_ids_to_headings(ctx) -> dict:
         return rec
 
     mapping: dict[str, dict] = {}
-    for el in root.iter():
+    for el in iter_id_name(root):
         attr = "id" if el.get("id") else ("name" if el.get("name") else None)
         if attr is None:
             continue
@@ -174,7 +174,7 @@ def map_ids_to_headings(ctx) -> dict:
 def _es_map_ids_to_headings(ctx) -> dict:
     """EcmaScript emu-clause mapping (map-ids-to-headings.mjs:133-173)."""
     mapping: dict[str, dict] = {}
-    for el in ctx.root.iter():
+    for el in iter_id_name(ctx.root):
         if not el.id or el.tag == "emu-xref":
             continue
         section = el.closest("emu-intro[id], emu-clause[id], emu-annex[id]")
@@ -372,7 +372,7 @@ def extract_headings(ctx) -> list[dict]:
 def extract_ids(ctx) -> list[str]:
     """extract-ids.mjs:6-28 (respec-/dfn-panel- filters = P7)."""
     out = []
-    for n in ctx.root.iter():
+    for n in iter_id_name(ctx.root):
         nid = n.id
         if nid and not nid.startswith("respec-") and not nid.startswith("dfn-panel-"):
             out.append(get_absolute_url(n, ctx))

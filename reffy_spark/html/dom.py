@@ -184,7 +184,7 @@ class Element:
             # detached fragment (e.g. the synthetic intro container in
             # extract-algorithms): no index home, walk it
             return self._query_all_walk(compounds)
-        flat, by_tag, pos_by_tag, all_pos, _, by_class, pos_by_class = (
+        flat, by_tag, pos_by_tag, all_pos, _, by_class, pos_by_class, *_rest = (
             _doc_index(root)
         )
         is_root = self is root
@@ -283,6 +283,7 @@ def _doc_index(root: Element):
                 p._end = el._end
         by_tag: dict[str, list[Element]] = {}
         by_class: dict[str, list[Element]] = {}
+        id_name: list[Element] = []
         for el in flat:
             b = by_tag.get(el.tag)
             if b is None:
@@ -296,6 +297,8 @@ def _doc_index(root: Element):
                         by_class[c] = [el]
                     else:
                         cb.append(el)
+            if "id" in el.attrs or "name" in el.attrs:
+                id_name.append(el)
         pos_by_tag = {t: [e.pos for e in els] for t, els in by_tag.items()}
         pos_by_class = {
             c: [e.pos for e in els] for c, els in by_class.items()
@@ -309,9 +312,33 @@ def _doc_index(root: Element):
             {},
             by_class,
             pos_by_class,
+            id_name,
+            [e.pos for e in id_name],
         )
         root._doc = doc
     return doc
+
+
+def iter_id_name(el: Element) -> list[Element]:
+    """Pre-order list of ``el``'s descendants (``el.iter()`` semantics:
+    self excluded) that carry an ``id`` or ``name`` attribute, served
+    from the doc index bucket — the shared scan under getElementById-
+    style indexes, extract-ids.mjs and map-ids-to-headings.mjs, which
+    otherwise each walk every element of the page."""
+    root = el
+    while root.parent is not None:
+        root = root.parent
+    if root.tag != "#root":  # detached fragment: no index home
+        return [
+            n for n in el.iter() if "id" in n.attrs or "name" in n.attrs
+        ]
+    doc = _doc_index(root)
+    bucket, poss = doc[7], doc[8]
+    if el is root:
+        return bucket
+    lo = bisect_right(poss, el.pos)
+    hi = bisect_right(poss, el._end)
+    return bucket[lo:hi]
 
 
 # ---------------------------------------------------------------------------

@@ -122,6 +122,31 @@ def test_indexed_query_matches_legacy_walk():
                 )
 
 
+def test_iter_id_name_matches_walk():
+    from reffy_spark.html.dom import iter_id_name
+
+    rng = random.Random(23)
+    for trial in range(25):
+        # ~40% of elements get an id; add name attrs on a slice too
+        html = _random_html(rng, rng.randint(5, 120)).replace(
+            "t3", '<a name="n3">t3', 1
+        )
+        root = parse_html(html)
+        for node in [root] + list(root.iter())[::5]:
+            fast = [e.pos for e in iter_id_name(node)]
+            slow = [
+                e.pos
+                for e in node.iter()
+                if "id" in e.attrs or "name" in e.attrs
+            ]
+            assert fast == slow, f"trial {trial} node {node!r}"
+    # detached fragment falls back to the walk (self excluded, like iter())
+    frag = parse_html("<div id=a><span name=b>x</span></div>").query("div")
+    frag.parent.children.remove(frag)
+    frag.parent = None
+    assert [e.get("id") or e.get("name") for e in iter_id_name(frag)] == ["b"]
+
+
 def test_within_matches_closest():
     rng = random.Random(11)
     for _ in range(10):
