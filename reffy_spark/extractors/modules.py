@@ -583,7 +583,8 @@ def extract_dfns(ctx) -> list[dict]:
     # matching prose element per target, in document order
     # (extract-dfns.mjs:290)
     prose_map: dict[str, Element] = {}
-    for pel in sorted(ctx.root.query_all("[data-defines]"), key=lambda e: e.pos):
+    # single-compound query_all already returns document order
+    for pel in ctx.root.query_all("[data-defines]"):
         target = pel.get("data-defines")
         if target and target not in prose_map:
             prose_map[target] = pel

@@ -549,9 +549,13 @@ _ATTR_RE = re.compile(
 # stdlib endtagfind (strict) and tagfind_tolerant for the lenient path
 _END_RE = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _END_TOLERANT_RE = re.compile(r"</([a-zA-Z][^\t\n\r\f />\x00]*)[^>]*>")
-# stdlib CDATA_CONTENT_ELEMENTS: script/style only
+# stdlib CDATA_CONTENT_ELEMENTS: script/style only. The end pattern is
+# the stdlib's set_cdata_mode `interesting` regex verbatim
+# (r'</\s*%s\s*>'): '</scriptx>' or '</script y>' do NOT end raw text
+# there, so they must not here either (r7 review fuzz divergence)
 _RAWTEXT_END = {
-    t: re.compile(r"</\s*" + t, re.IGNORECASE) for t in ("script", "style")
+    t: re.compile(r"</\s*" + t + r"\s*>", re.IGNORECASE)
+    for t in ("script", "style")
 }
 _CDATA_ELEMS = frozenset(_RAWTEXT_END)
 
@@ -565,6 +569,22 @@ def _fast_parse(html: str) -> Element:
     pos = 0
     n = len(html)
     find = html.find
+
+    def salvage(lt: int) -> int:
+        """stdlib goahead's k<0-at-EOF recovery for an unterminated
+        construct at ``lt``: emit text up to (and including) the next
+        '>', else up to the next '<', else just the '<'; resume there."""
+        gt = find(">", lt + 1)
+        if gt >= 0:
+            k = gt + 1
+        else:
+            k = find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        data = html[lt:k]
+        stack[-1].children.append(_unescape(data) if "&" in data else data)
+        return k
+
     while pos < n:
         lt = find("<", pos)
         if lt < 0:
@@ -620,12 +640,18 @@ def _fast_parse(html: str) -> Element:
                 stack.append(el)
                 if tag in _CDATA_ELEMS:
                     # raw text: no tags, no charref decoding (stdlib
-                    # CDATA_CONTENT_ELEMENTS behavior)
+                    # CDATA_CONTENT_ELEMENTS behavior). Unterminated
+                    # raw text is DISCARDED like the stdlib (goahead
+                    # breaks in cdata mode without an end-tag match, so
+                    # close() never emits the pending data)
                     endm = _RAWTEXT_END[tag].search(html, pos)
-                    end_at = endm.start() if endm else n
-                    if end_at > pos:
-                        el.children.append(html[pos:end_at])
-                    pos = end_at  # the end tag parses on the next loop
+                    if endm is None:
+                        pos = n
+                    else:
+                        end_at = endm.start()
+                        if end_at > pos:
+                            el.children.append(html[pos:end_at])
+                        pos = end_at  # the end tag parses next loop
         elif nxt == "/":
             m = _END_RE.match(html, lt) or _END_TOLERANT_RE.match(html, lt)
             if m is not None:
@@ -640,20 +666,20 @@ def _fast_parse(html: str) -> Element:
                 pos = lt + 3  # stdlib: ignored
             else:
                 gt = find(">", lt)  # bogus comment, dropped
-                pos = gt + 1 if gt >= 0 else n
+                pos = gt + 1 if gt >= 0 else salvage(lt)
         elif nxt == "!":
             if html.startswith("<!--", lt):
                 end = find("-->", lt + 4)
-                pos = end + 3 if end >= 0 else n
+                pos = end + 3 if end >= 0 else salvage(lt)
             elif html.startswith("<![", lt):
                 end = find("]>", lt + 3)
-                pos = end + 2 if end >= 0 else n
+                pos = end + 2 if end >= 0 else salvage(lt)
             else:  # doctype / decl
                 gt = find(">", lt)
-                pos = gt + 1 if gt >= 0 else n
+                pos = gt + 1 if gt >= 0 else salvage(lt)
         elif nxt == "?":
             gt = find(">", lt)
-            pos = gt + 1 if gt >= 0 else n
+            pos = gt + 1 if gt >= 0 else salvage(lt)
         else:
             stack[-1].children.append("<")
             pos = lt + 1

@@ -465,7 +465,7 @@ class CrawlEngine:
         # rebuilt from seen only at explicit epoch boundaries
         cuckoo_state = None
         bloom = None
-        bloom_cap = 0
+        bloom_retired = False
         self._deferred = []
         deferred = self._deferred  # alias — mutated in place, never rebound
 
@@ -799,32 +799,32 @@ class CrawlEngine:
                         )
                     unseen = filter_unseen_with_state(cand, seen, cuckoo_state)
                 else:
-                    if self.use_bloom:
+                    if self.use_bloom and not bloom_retired:
                         if seen_count is None:
                             seen_count = seen.count()
-                        if bloom is None or seen_count > bloom_cap:
+                        if seen_count > FR.BLOOM_MAX_ITEMS:
+                            # the ACTUAL seen set outgrew the largest
+                            # bitmap this driver holds: retire the bloom
+                            # for good (plain scan-shaped anti-join from
+                            # here on; no per-round rebuild retries)
+                            bloom = None
+                            bloom_retired = True
+                        elif bloom is None or seen_count > bloom.n_capacity:
                             # epoch (re)build with 2x headroom so steady
-                            # growth is absorbed by incremental folds;
-                            # returns None past BLOOM_MAX_ITEMS → plain
-                            # anti-join from then on (cap=inf stops the
-                            # per-round retry)
-                            # clamp the hint to the bloom's own ceiling: a
-                            # crawl budget above BLOOM_MAX_ITEMS must not
-                            # disable the filter while the ACTUAL seen set
-                            # is still small (epoch rebuilds take over, and
-                            # build_bloom returning None past the ceiling
-                            # on real growth still retires it cleanly)
-                            cap_t = max(
-                                seen_count * 2,
-                                min(
+                            # growth is absorbed by incremental folds.
+                            # BOTH the hint and the growth term clamp to
+                            # the bloom's own ceiling: a crawl budget OR
+                            # a seen_count*2 above BLOOM_MAX_ITEMS must
+                            # not disable the filter while the actual
+                            # seen set still fits a max-size bitmap
+                            cap_t = min(
+                                max(
+                                    seen_count * 2,
                                     self.seen_capacity_hint or 0,
-                                    FR.BLOOM_MAX_ITEMS,
                                 ),
+                                FR.BLOOM_MAX_ITEMS,
                             )
                             bloom = FR.build_bloom(seen, n_items=cap_t)
-                            bloom_cap = (
-                                cap_t if bloom is not None else float("inf")
-                            )
                     else:
                         bloom = None
                     unseen = FR.filter_unseen(cand, seen, bloom=bloom)

@@ -111,9 +111,9 @@ def build_bloom(
     n = seen.count() if n_items is None else n_items
     if n > BLOOM_MAX_ITEMS or n == 0:
         return None
+    # Bloom.__init__ records n as n_capacity: fold incrementally up to
+    # it; past it the caller performs an explicit epoch rebuild
     proto = Bloom(n, fpp)
-    proto.n_capacity = n  # sized-for item count: fold incrementally up
-    # to this; past it the caller performs an explicit epoch rebuild
     return fold_bloom(proto, seen, key)
 
 
@@ -162,6 +162,10 @@ _SCAN_ANTI_MIN_BYTES = 64 * 1024 * 1024
 # scan shape's premise fails and the plain shuffle anti-join is correct
 _SCAN_ANTI_MAX_LEFT_BYTES = 256 * 1024 * 1024
 
+# row-count twin of the byte guard, used when Catalyst has no estimate
+# (crawl round state is lineage-truncated): ~100 B/url key → ~200 MB
+_SCAN_ANTI_MAX_LEFT_ROWS = 2_000_000
+
 
 from reffy_spark.plan_stats import estimated_bytes as _estimated_bytes
 
@@ -186,16 +190,28 @@ def anti_join_scan(
     anti-join — the scan shape's two broadcast round-trips cost a flat
     ~1 s that a trivial shuffle doesn't (r7 bench: urlseen_antijoin
     1.6× at sf0.1 before this routing). A LEFT side that is itself
-    estimated large (> 256 MB — not broadcastable) also keeps the plain
-    shuffle: the scan shape's premise is a round-bounded candidate set.
-    Unknown estimates route to the scan shape: crawl round state is
-    lineage-truncated (no stats), its candidates are round-bounded by
-    construction, and seen is exactly the side that grows."""
+    large (not broadcastable) also keeps the plain shuffle: the scan
+    shape's premise is a round-bounded candidate set. When Catalyst has
+    an estimate the 256 MB byte guard decides (checkpointed/persisted
+    round state does report estimates); when it genuinely doesn't
+    (RDD-backed frames return the unknown sentinel), a BOUNDED
+    limit-probe counts at most ~_SCAN_ANTI_MAX_LEFT_ROWS+1 left rows
+    (limit early-exits, so the probe's cost does not grow with left)
+    before committing to a broadcast — an explosive-fan-out round
+    degrades to the plain anti-join instead of OOMing the driver. An
+    unknown SEEN estimate still routes to the scan shape: seen is the
+    side that grows."""
     est = _estimated_bytes(seen)
     if est is not None and est < _SCAN_ANTI_MIN_BYTES:
         return left.join(seen.select(key), on=key, how="left_anti")
     left_est = _estimated_bytes(left)
-    if left_est is not None and left_est > _SCAN_ANTI_MAX_LEFT_BYTES:
+    if left_est is not None:
+        if left_est > _SCAN_ANTI_MAX_LEFT_BYTES:
+            return left.join(seen.select(key), on=key, how="left_anti")
+    elif (
+        left.select(key).limit(_SCAN_ANTI_MAX_LEFT_ROWS + 1).count()
+        > _SCAN_ANTI_MAX_LEFT_ROWS
+    ):
         return left.join(seen.select(key), on=key, how="left_anti")
     keys = left.select(key).distinct()
     hits = seen.select(key).join(F.broadcast(keys), on=key, how="left_semi")

@@ -245,7 +245,15 @@ def ann_topk_batch(
         F.col("embedding").alias("q_vec"),
         "bucket",
     )
-    masks = [0] + ([1 << p for p in range(n_planes)] if hamming >= 1 else [])
+    # all XOR masks within `hamming` bit flips — the same probe set as
+    # probe_buckets, as a query-independent mask literal
+    import itertools
+
+    masks = [
+        sum(1 << p for p in combo)
+        for r in range(hamming + 1)
+        for combo in itertools.combinations(range(n_planes), r)
+    ]
     probes = (
         qb.withColumn(
             "_m", F.explode(F.array(*[F.lit(m).cast("long") for m in masks]))

@@ -201,6 +201,27 @@ def test_ann_batch_matches_per_query_probes(spark, emb):
         assert [r["rank"] for r in got_sorted] == list(range(1, len(got) + 1))
 
 
+def test_ann_batch_hamming2_matches_per_query(spark, emb):
+    """hamming>1 expands the full multi-bit probe set (the r7 review
+    found the batch form silently capping at hamming=1)."""
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") % 200 == 0)
+    batch = S.ann_topk_batch(
+        emb, queries, dim=64, k=5, n_planes=6, hamming=2, q_id_col="vec_id"
+    )
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, got in by_q.items():
+        qv = list(emb.filter(F.col("vec_id") == qid).first()["embedding"])
+        want = S.ann_topk_lsh(
+            emb, qv, dim=64, k=5, n_planes=6, hamming=2
+        ).collect()
+        got_sorted = sorted(got, key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got_sorted] == [r["vec_id"] for r in want]
+
+
 def test_ann_batch_single_plan_shape(spark, emb):
     """One relational plan for N queries: no cartesian/nested-loop join,
     one per-query window, plain equi-join on bucket."""

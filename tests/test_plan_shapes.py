@@ -342,3 +342,44 @@ def test_fetch_misses_never_shuffle_pages(spark):
     assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
     # and it returns exactly the batch keys absent from pages
     assert notfound.count() == 5  # h50..h58 even
+
+
+def test_anti_join_scan_left_guard_on_unknown_stats(spark, monkeypatch):
+    """The scan shape's candidate broadcast must be bounded even when
+    Catalyst has NO estimate for the left side (RDD-backed frames
+    report the unknown-size sentinel): above the row guard the plain
+    anti-join is kept instead of broadcasting an unbounded key set."""
+    from reffy_spark.operators import frontier as FR
+
+    seen = spark.range(0, 200_000).select(
+        F.concat(F.lit("https://s.test/"), F.col("id")).alias("url_canon")
+    )
+    base = spark.range(0, 500).select(
+        F.concat(F.lit("https://s.test/"), F.col("id")).alias("url_canon")
+    )
+    # RDD round-trip: LogicalRDD reports the unknown-size sentinel
+    left = spark.createDataFrame(base.rdd, base.schema)
+    from reffy_spark.plan_stats import estimated_bytes
+
+    assert estimated_bytes(left) is None
+
+    # force the scan branch regardless of seen's estimate
+    monkeypatch.setattr(FR, "_SCAN_ANTI_MIN_BYTES", 0)
+
+    # below the row guard: scan shape (hit set broadcast, no seen shuffle)
+    monkeypatch.setattr(FR, "_SCAN_ANTI_MAX_LEFT_ROWS", 1_000)
+    small = FR.anti_join_scan(left, seen)
+    assert "BroadcastHashJoin" in plan_of(small)
+    assert small.count() == 0  # every left key is in seen
+
+    # above the row guard: plain left_anti, no broadcast of candidates
+    monkeypatch.setattr(FR, "_SCAN_ANTI_MAX_LEFT_ROWS", 100)
+    big = FR.anti_join_scan(left, seen)
+    import re
+
+    assert re.search(r"Join .*LeftAnti", plan_of(big)) or "LeftAnti" in plan_of(big)
+    # the scan shape's second join broadcasts HITS into a LeftAnti;
+    # the guarded plain path must not broadcast the candidate keys as a
+    # semi-join build side
+    assert "LeftSemi" not in plan_of(big)
+    assert big.count() == 0

@@ -249,6 +249,14 @@ _soup_atoms = st.one_of(
             "<tr>", "<table>", "</table>", "<br>", "<b>", "</b>",
             "<span id=s>", "</span>", "<script>a<b</script>",
             "<style>p{}</style>", "<!--c-->", "<!DOCTYPE html>",
+            # rawtext edges: non-boundary end tags, ws forms, bare opens
+            # (the r7 review fuzz found the pre-closed atoms above can't
+            # reach the cdata end-tag boundary cases)
+            "<script>", "</script>", "</scriptx>", "</script y>",
+            "</ script >", "</SCRIPT\t>", "<style>", "</style>",
+            "</styleq>", "<script>a</scriptx>b</script>",
+            # unterminated constructs (the stdlib EOF-salvage path)
+            "</script", "<!--x", "<!d", "<?p", "</@q", "<div a",
             "&amp;", "&lt;", "&#65;", "&#x42;", "&bogus;", "&amp",
             "<a href=\"x&amp;y\">", "</a>", "<img src=x>", "<input value='q'>",
             "<dl><dt>t<dd>d", "<option>o", "<p title=\"m\nl\">",
