@@ -389,7 +389,9 @@ def extract_links(ctx) -> dict:
     rawlinks: dict[str, set] = {}
     autolinks: dict[str, set] = {}
     for n in ctx.root.query_all("a[href^=http]"):
-        if n.closest(".head, del, .dfn-panel") is not None:
+        # existence-only ancestor test: within() bisects the cached
+        # merged subtree intervals instead of walking ancestors
+        if n.within(".head, del, .dfn-panel"):
             continue
         href = n.get("href") or ""
         page_url = href.split("#")[0]
@@ -607,7 +609,7 @@ def extract_dfns(ctx) -> list[dict]:
         if dfn_type not in VALID_DFN_TYPES:
             continue
         # excluded/deleted filter (P4)
-        if el.closest(".exclude,del") is not None:
+        if el.within(".exclude,del"):
             continue
         # imported-definition filter (P5)
         link = el.query("a[href^=http]") or el.closest("a[href^=http]")
@@ -819,7 +821,7 @@ def _get_code_elements(ctx, selectors: list[str], exclude_selectors: list[str]):
     out.sort(key=lambda e: e.pos)
     res = []
     for el in out:
-        if exclude_selectors and el.closest(", ".join(exclude_selectors)) is not None:
+        if exclude_selectors and el.within(", ".join(exclude_selectors)):
             continue
         if is_informative(el):
             continue
