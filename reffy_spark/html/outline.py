@@ -224,7 +224,11 @@ def create_outline(root: Element, dense: bool = False):
     # excluded wholesale — the dense walk never descends into them.
     from reffy_spark.html.dom import _doc_index
 
-    flat = _doc_index(root)[0]  # pre-order list; fresh ._end subtree ranges
+    # a root that is ITSELF an hgroup has no visitable content in the
+    # dense walk (kids=[]) — mirror that here so the equivalence
+    # contract is total (ADVICE r7)
+    flat = [] if root.tag == "hgroup" else _doc_index(root)[0]
+    # pre-order list; fresh ._end subtree ranges
     enter(root)
     skip_until = -1
     open_stack: list[Element] = []

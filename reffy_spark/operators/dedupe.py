@@ -126,6 +126,22 @@ def spread_small_input(df: DataFrame, min_headroom: int = 2) -> DataFrame:
     return df
 
 
+def has_shingles_filter(docs: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Drop docs that cannot produce an n-gram shingle (< n tokens).
+
+    Equivalent to ``filter(size(sh) > 0)`` AFTER computing shingles
+    (``shingles_col`` yields a non-empty distinct-gram array exactly when
+    ``size(tokens) >= n``), but expressed on the raw text column so that
+    predicate pushdown duplicates only the CHEAP tokenize pass into the
+    scan — not the whole shingle pipeline. The r8 plan audit found the
+    pushed ``size(sh) > 0`` twin evaluating the full tokenize+slice+
+    concat+distinct chain inside the scan's Filter, BELOW the
+    ``spread_small_input`` exchange, i.e. single-task on a one-split
+    local file (guide §2.5 input-skew shape: 3.5 s of the bench's
+    minhash cost was this one pushed predicate)."""
+    return docs.filter(F.size(tokens_col(F.col(text_col))) >= n)
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -138,20 +154,29 @@ def minhash_signatures(
     (no shingles → no signature). Shingles are materialized once into a
     column so the k permutations share the work (manual CSE — Catalyst
     does not eliminate common subexpressions across lambda functions)."""
-    sh_df = spread_small_input(docs).select(
+    sh_df = spread_small_input(has_shingles_filter(docs, text_col, n)).select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
-    ).filter(F.size("sh") > 0)
+    )
     return sh_df.select("doc_id", *minhash_from_shingles(F.col("sh"), k, hash_mode))
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, bands: int = 4, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    materialize: bool = False,
 ) -> DataFrame:
     """MinHash-LSH banding: hash each band of the signature, bucket-join.
 
     Returns distinct candidate pairs (doc_a < doc_b). The only shuffle is
     the per-band groupBy on (band, band_hash); pairs are generated inside
     buckets via a self-equi-join on the bucket key — never a cross join.
+
+    ``materialize=True`` checkpoints the slim banded table (doc_id + one
+    hash per band) before the self-join: without it BOTH join sides
+    re-evaluate the k-permutation MinHash lineage (guide §2.4 — a
+    self-join is two consumers of the same expensive subtree; at scale
+    the banded table is the intermediate you would write out anyway).
     """
     k = bands * rows_per_band
     band_cols = []
@@ -161,6 +186,8 @@ def lsh_candidate_pairs(
             F.md5(F.concat_ws(",", *[p.cast("string") for p in parts])).alias(f"band{b}")
         )
     banded = sigs.select("doc_id", *band_cols)
+    if materialize:
+        banded = banded.localCheckpoint(eager=True)
     stacked = banded.select(
         "doc_id",
         F.explode(
@@ -197,13 +224,26 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates
     → exact Jaccard verification on shingle sets (computed only for
     candidate pairs). Returns (doc_a, doc_b, jaccard) with jaccard ≥
-    threshold, rounded to 6 decimals (oracle-stable)."""
+    threshold, rounded to 6 decimals (oracle-stable).
+
+    r8 shape: the shingle table is computed ONCE and checkpointed — it
+    feeds the signature pass and BOTH sides of the verification join,
+    which previously re-ran the tokenize+shingle lineage three times
+    (guide §8 step 1: fingerprint once, reuse the materialized proxy).
+    The pre-filter to docs with ≥ n tokens is a no-op for the result
+    (candidates always have signatures, hence ≥ n tokens) and keeps the
+    pushed-down predicate cheap (see ``has_shingles_filter``)."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, id_col, text_col, k, n, hash_mode)
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sh = spread_small_input(docs).select(
-        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), n).alias("sh")
+    sh = (
+        spread_small_input(has_shingles_filter(docs, text_col, n))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            shingles_col(F.col(text_col), n).alias("sh"),
+        )
+        .localCheckpoint(eager=True)
     )
+    sigs = sh.select("doc_id", *minhash_from_shingles(F.col("sh"), k, hash_mode))
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, materialize=True)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
@@ -248,13 +288,17 @@ def ngram_jaccard_pairs(
     emits each pair exactly once without a distinct over the payload.
     """
     inv = 1.0 / length_band_ratio
+    # cheap pushable prefilter + one checkpointed shingle pass shared by
+    # both sides of the self-join (same r8 rationale as
+    # ``minhash_dedup_pairs``; ``n_sh > 0`` ⇔ ``size(tokens) >= n``)
     sh = (
-        spread_small_input(docs).select(
+        spread_small_input(has_shingles_filter(docs, text_col, n))
+        .select(
             F.col(id_col).alias("doc_id"),
             shingles_col(F.col(text_col), n).alias("sh"),
         )
         .withColumn("n_sh", F.size("sh"))
-        .filter(F.col("n_sh") > 0)
+        .localCheckpoint(eager=True)
     )
     g = F.floor(F.log(float(inv), F.col("n_sh"))).cast("long")
     stacked = sh.select(
@@ -303,21 +347,20 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash_col(
-    text: Column, bits: int = SIMHASH_BITS, hash_mode: str = "portable"
-) -> Column:
-    """SimHash over whitespace tokens, pure expressions.
-
-    For each bit j: majority vote of token-hash bit j (+1/-1); the
-    fingerprint sets bit j when the vote is ≥ 0. Token hash is the
-    portable 60-bit md5 hash (DuckDB-reproducible) or xxhash64 in
-    ``fast`` mode.
-    """
+def token_hashes_col(text: Column, hash_mode: str = "portable") -> Column:
+    """Per-token hash array feeding the SimHash bit votes."""
     toks = tokens_col(text)
     if hash_mode == "fast":
-        hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    else:
-        hashes = F.transform(toks, lambda t: h60(t))
+        return F.transform(toks, lambda t: F.xxhash64(t))
+    return F.transform(toks, lambda t: h60(t))
+
+
+def simhash_from_hashes(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Fold a token-hash array into the SimHash fingerprint.
+
+    For each bit j: majority vote of token-hash bit j (+1/-1); the
+    fingerprint sets bit j when the vote is ≥ 0. Integer sums — any
+    evaluation order yields the same fingerprint."""
 
     def bit_vote(j: int) -> Column:
         return F.aggregate(
@@ -333,15 +376,35 @@ def simhash_col(
     return out
 
 
+def simhash_col(
+    text: Column, bits: int = SIMHASH_BITS, hash_mode: str = "portable"
+) -> Column:
+    """SimHash over whitespace tokens, pure expressions. Token hash is
+    the portable 60-bit md5 hash (DuckDB-reproducible) or xxhash64 in
+    ``fast`` mode. NOTE: as a single expression the ``bits`` votes each
+    re-evaluate the token-hash transform — prefer ``simhash_table``'s
+    two-level projection on hot paths (r8: 7× on the bench)."""
+    return simhash_from_hashes(token_hashes_col(text, hash_mode), bits)
+
+
 def simhash_table(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_mode: str = "portable",
 ) -> DataFrame:
-    return spread_small_input(docs).select(
+    """Two-level projection: the token-hash array is materialized by the
+    lower Project and the 32 bit votes read it as a column reference.
+    CollapseProject keeps the split (the array expression is non-cheap
+    and referenced ``bits`` times), so the tokenize+hash pass runs ONCE
+    per row instead of once per bit — guide §1.2 "per-task work"; r8
+    measured 1.64 s → 0.24 s on the bench query, bit-identical."""
+    lower = spread_small_input(docs).select(
         F.col(id_col).alias("doc_id"),
-        simhash_col(F.col(text_col), hash_mode=hash_mode).alias("simhash"),
+        token_hashes_col(F.col(text_col), hash_mode).alias("_th"),
+    )
+    return lower.select(
+        "doc_id", simhash_from_hashes(F.col("_th")).alias("simhash")
     )
 
 
@@ -362,7 +425,9 @@ def simhash_near_pairs(
     """
     band_bits = SIMHASH_BITS // n_bands
     mask = (1 << band_bits) - 1
-    sh = simhash_table(docs, id_col, text_col)
+    # checkpoint: the banded self-join below consumes the fingerprint
+    # table twice — without this both sides re-run the simhash pass
+    sh = simhash_table(docs, id_col, text_col).localCheckpoint(eager=True)
     stacked = sh.select(
         "doc_id",
         "simhash",

@@ -228,7 +228,10 @@ def ann_topk_batch(
     Both sides are bucketed by the same deterministic hyperplanes
     (pure column expressions, JVM-side). Multi-probe is an exploded
     literal XOR-mask array on the QUERY side only — |queries| ×
-    (n_planes+1) probe rows, never a blow-up of the corpus. The join is
+    Σ_{r≤hamming} C(n_planes, r) probe rows (e.g. 37 per query at
+    n_planes=8, hamming=2; the mask count grows combinatorially with
+    ``hamming``, so size the explode accordingly), never a blow-up of
+    the corpus. The join is
     a plain equi-join on bucket: at 100 TB the corpus buckets table is
     written bucketed-by(bucket) so probes co-locate without a corpus
     shuffle, and a small query batch broadcasts. Per-query ranking is a

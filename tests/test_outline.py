@@ -292,3 +292,14 @@ def test_sparse_walk_equals_dense_walk(trees):
     assert {e.pos for e in s_map} == {e.pos for e in d_map}
     for el, sec in d_map.items():
         assert _sec_canon(s_map[el]) == _sec_canon(sec)
+
+
+def test_sparse_walk_root_hgroup_equals_dense():
+    """ADVICE r7: a root that is ITSELF an hgroup must behave like the
+    dense walk (kids=[] — no descendants visited, no id mappings)."""
+    root = parse_html('<hgroup><h1 id="a">T</h1><p id="b">x</p></hgroup>')
+    hg = root.query("hgroup")
+    d_out, d_map = create_outline(hg, dense=True)
+    s_out, s_map = create_outline(hg)
+    assert _outline_canon(s_out) == _outline_canon(d_out)
+    assert {e.pos for e in s_map} == {e.pos for e in d_map}

@@ -27,9 +27,14 @@ def scan(acc: dict) -> None:
             continue
         try:
             with open(f"/proc/{pid}/stat") as f:
-                st = f.read().split()
-            comm = st[1]
-            cpu = (int(st[13]) + int(st[14])) / HZ
+                raw = f.read()
+            # comm may contain spaces/parens; fields are defined from the
+            # LAST ')' (stat(5)'s documented comm delimiter)
+            head, _, rest = raw.rpartition(")")
+            comm = head.split("(", 1)[1] if "(" in head else head
+            st = rest.split()
+            # rest starts at field 3 (state); utime/stime are fields 14/15
+            cpu = (int(st[11]) + int(st[12])) / HZ
         except OSError:
             continue
         kind = (
