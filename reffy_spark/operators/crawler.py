@@ -221,8 +221,22 @@ class CrawlEngine:
         ]
         if assume_canonical_unique:
             self.pages = pc.select(*page_cols)
+            self._pages_cached = None
         else:
-            self.pages = freshest_capture(pc)
+            # Persist the canonicalized+deduped pages table ONCE per
+            # engine (r8): every round's fetch evaluates it twice (the
+            # fetch join and the matched-keys broadcast build), so an
+            # unmaterialized freshest_capture re-ran its full-corpus
+            # groupBy shuffle 2×rounds times per crawl. MEMORY_AND_DISK
+            # is the sandbox stand-in for the production shape (an
+            # Iceberg pages table MERGEd on url_canon, written once);
+            # released in close().
+            from pyspark.storagelevel import StorageLevel
+
+            self.pages = freshest_capture(pc).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            self._pages_cached = self.pages
         self.broadcast_batch = broadcast_batch
         # Round-state durability: ``localCheckpoint`` blocks are NOT
         # fault-tolerant — on a multi-executor cluster one lost executor
@@ -356,14 +370,14 @@ class CrawlEngine:
         frontier = self._materialize(
             frontier, "frontier", 0, durable=bool(self.checkpoint_dir)
         )
-        # pure replay without a checkpoint never consumes the seen set
-        # (no discovery anti-join, no resume) — committing it would be a
-        # full frontier-sized write+read; keep it a cheap projection of
-        # the materialized frontier instead
-        if self.discover or self.checkpoint_dir:
-            seen = self._materialize(
-                seen, "seen", 0, durable=bool(self.checkpoint_dir)
-            )
+        # the round-0 seen set IS a projection of the (just-materialized)
+        # frontier: without a checkpoint there is nothing to commit —
+        # every consumer (the discovery anti-join's seen scan) reads the
+        # frontier cache equally well, and the separate round-0
+        # materialization was a pure per-crawl constant (r8; ~0.4 s of
+        # the bench replay)
+        if self.checkpoint_dir:
+            seen = self._materialize(seen, "seen", 0)
         else:
             seen = frontier.select("url_canon", F.lit(0).alias("first_round"))
         return self._run_rounds(frontier, seen, start_round=1, max_rounds=max_rounds)
@@ -444,6 +458,17 @@ class CrawlEngine:
     def __exit__(self, *exc) -> None:
         self.close()
         self._release_working_sets()
+        # NOT in close(): close() runs inside _run_rounds' finally, and a
+        # pure-replay caller consumes the (lazy) results after that —
+        # unpersisting there would forfeit the cache for the final
+        # action. Outside a with-block the ContextCleaner periodic GC
+        # reclaims the blocks once the engine is unreferenced.
+        if getattr(self, "_pages_cached", None) is not None:
+            try:
+                self._pages_cached.unpersist(blocking=False)
+            except Exception:
+                pass
+            self._pages_cached = None
 
     def _run_rounds_impl(
         self,
@@ -756,19 +781,25 @@ class CrawlEngine:
 
             # ---- discover: outgoing links → candidate frontier rows -----
             if self.discover:
-                discovered = links_long(round_results.filter(F.col("status") == "ok"))
-                candidates = discovered.select(
-                    F.col("page_url").alias("url")
+                # targets-only parse (r8): discovery needs the outgoing
+                # page URLs, not the per-anchor fragment explode of
+                # links_long — the frontier dedup collapses multiplicity
+                # anyway, so the candidate SET (and every downstream row)
+                # is identical while the JSON pass emits map keys only
+                candidates = link_targets(
+                    round_results.filter(F.col("status") == "ok")
                 ).withColumn("seed_idx", F.lit(None).cast("long"))
                 next_depth = F.lit(rnd)  # BFS depth == first reachable round
                 cand = FR.to_frontier(candidates, depth_col=next_depth, round_no=rnd)
                 cand = FR.apply_robots(cand, self.robots)
-                # materialize the candidate set only when it has several
-                # consumers (both halves of the bloom-split anti-join, the
-                # metrics count) — in the plain anti-join path without
-                # metrics it streams straight through filter_unseen
-                if self.use_bloom or self.collect_metrics:
-                    cand = self._materialize(cand, "candidates", rnd, durable=False)
+                # ALWAYS materialize the candidate set (r8, ADVICE r7):
+                # every unseen-filter shape consumes it several times —
+                # the bloom split's two halves, the metrics count, and in
+                # the plain path the scan-shaped anti-join's stats probe +
+                # broadcast key set + the anti-join itself. Unmaterialized,
+                # each consumer re-ran the links-parse → dedup → robots
+                # lineage (3× per round in the bench replay).
+                cand = self._materialize(cand, "candidates", rnd, durable=False)
 
                 if self.use_bloom == "cuckoo":
                     # cuckoo-filter membership (operators/cuckoo.py):
@@ -827,7 +858,11 @@ class CrawlEngine:
                             bloom = FR.build_bloom(seen, n_items=cap_t)
                     else:
                         bloom = None
-                    unseen = FR.filter_unseen(cand, seen, bloom=bloom)
+                    # cand is unique per url_canon (to_frontier dedup) —
+                    # the scan-shape broadcast key set skips its distinct
+                    unseen = FR.filter_unseen(
+                        cand, seen, bloom=bloom, candidates_unique=True
+                    )
                 # new_urls feeds BOTH the frontier merge and the seen-set
                 # update
                 new_urls = self._materialize(
@@ -1031,26 +1066,74 @@ class CrawlEngine:
             )
 
 
+def link_targets(results: DataFrame) -> DataFrame:
+    """Outgoing page URLs of each result row (JSON map keys only, both
+    link kinds) as a one-column ``url`` frame — the frontier-discovery
+    feed. Skips ``links_long``'s per-anchor explode: fragments are
+    irrelevant to crawl candidates, and the frontier dedup collapses
+    multiplicity, so consumers see the identical candidate set."""
+    schema = "map<string, struct<anchors: array<string>>>"
+
+    def keys(kind: str):
+        return F.map_keys(
+            F.from_json(F.get_json_object(F.col("links"), f"$.{kind}"), schema)
+        )
+
+    empty = F.array().cast("array<string>")
+    return results.select(
+        F.explode(
+            F.concat(
+                F.coalesce(keys("rawlinks"), empty),
+                F.coalesce(keys("autolinks"), empty),
+            )
+        ).alias("url")
+    )
+
+
 def links_long(results: DataFrame) -> DataFrame:
     """Normalize the links JSON column into a long table
     (url_canon, page_url, fragment, is_autolink) — FIXTURES.md §5
-    golden_links shape. JSON parsing happens JVM-side (from_json)."""
+    golden_links shape. JSON parsing happens JVM-side (from_json).
+
+    SINGLE PASS (r8): both kinds are parsed in one projection and
+    stacked with an array concat + one explode, instead of a union whose
+    two branches each re-evaluated the whole upstream lineage (the
+    Arrow extraction when unmaterialized — pagerank/extract_links ran
+    extraction twice; the crawl loop re-parsed the results JSON twice
+    per consumer). Same output bag: per kind, per map entry, one row per
+    anchor (or one NULL-fragment row when the entry has none).
+    """
     schema = "map<string, struct<anchors: array<string>>>"
-    out = None
-    for kind, flag in (("rawlinks", False), ("autolinks", True)):
-        m = results.select(
-            F.col("url_canon"),
-            F.explode_outer(
-                F.from_json(F.get_json_object(F.col("links"), f"$.{kind}"), schema)
-            ).alias("page_url", "v"),
-        ).filter(F.col("page_url").isNotNull())
-        part = m.select(
-            "url_canon",
-            "page_url",
-            F.explode_outer(
-                F.coalesce(F.col("v.anchors"), F.array().cast("array<string>"))
-            ).alias("fragment"),
-            F.lit(flag).alias("is_autolink"),
+    entry_t = (
+        "array<struct<page_url:string,anchors:array<string>,"
+        "is_autolink:boolean>>"
+    )
+
+    def entries(kind: str, flag: bool):
+        m = F.from_json(F.get_json_object(F.col("links"), f"$.{kind}"), schema)
+        return F.transform(
+            F.map_entries(m),
+            lambda e: F.struct(
+                e["key"].alias("page_url"),
+                e["value"]["anchors"].alias("anchors"),
+                F.lit(flag).alias("is_autolink"),
+            ),
         )
-        out = part if out is None else out.unionByName(part)
-    return out
+
+    stacked = results.select(
+        F.col("url_canon"),
+        F.explode(
+            F.concat(
+                F.coalesce(entries("rawlinks", False), F.expr(f"CAST(array() AS {entry_t})")),
+                F.coalesce(entries("autolinks", True), F.expr(f"CAST(array() AS {entry_t})")),
+            )
+        ).alias("e"),
+    ).filter(F.col("e.page_url").isNotNull())
+    return stacked.select(
+        "url_canon",
+        F.col("e.page_url").alias("page_url"),
+        F.explode_outer(
+            F.coalesce(F.col("e.anchors"), F.array().cast("array<string>"))
+        ).alias("fragment"),
+        F.col("e.is_autolink").alias("is_autolink"),
+    )

@@ -171,7 +171,10 @@ from reffy_spark.plan_stats import estimated_bytes as _estimated_bytes
 
 
 def anti_join_scan(
-    left: DataFrame, seen: DataFrame, key: str = "url_canon"
+    left: DataFrame,
+    seen: DataFrame,
+    key: str = "url_canon",
+    left_unique: bool = False,
 ) -> DataFrame:
     """``left LEFT ANTI JOIN seen`` without ever shuffling ``seen``.
 
@@ -200,7 +203,13 @@ def anti_join_scan(
     before committing to a broadcast — an explosive-fan-out round
     degrades to the plain anti-join instead of OOMing the driver. An
     unknown SEEN estimate still routes to the scan shape: seen is the
-    side that grows."""
+    side that grows.
+
+    ``left_unique=True``: the caller guarantees one row per key (e.g. a
+    deduped frontier candidate set), so the broadcast key set skips its
+    ``distinct`` — one less exchange per call; purely a plan change
+    (duplicate keys would only inflate the broadcast, never the answer).
+    """
     est = _estimated_bytes(seen)
     if est is not None and est < _SCAN_ANTI_MIN_BYTES:
         return left.join(seen.select(key), on=key, how="left_anti")
@@ -213,7 +222,7 @@ def anti_join_scan(
         > _SCAN_ANTI_MAX_LEFT_ROWS
     ):
         return left.join(seen.select(key), on=key, how="left_anti")
-    keys = left.select(key).distinct()
+    keys = left.select(key) if left_unique else left.select(key).distinct()
     hits = seen.select(key).join(F.broadcast(keys), on=key, how="left_semi")
     return left.join(F.broadcast(hits), on=key, how="left_anti")
 
@@ -223,15 +232,18 @@ def filter_unseen(
     seen: DataFrame,
     key: str = "url_canon",
     bloom: Bloom | None = None,
+    candidates_unique: bool = False,
 ) -> DataFrame:
     """Rows of ``candidates`` whose key is not in ``seen``.
 
     With a bloom: definitely-new rows bypass the seen lookup entirely;
     only maybe-seen rows are confirmed exactly (false-positive-safe).
     Both paths use the scan-shaped anti-join — seen never shuffles.
+    ``candidates_unique`` forwards the one-row-per-key guarantee to
+    ``anti_join_scan`` (skips the broadcast key set's distinct).
     """
     if bloom is None:
-        return anti_join_scan(candidates, seen, key)
+        return anti_join_scan(candidates, seen, key, left_unique=candidates_unique)
 
     # ship the bitmap via an explicit TorrentBroadcast (one transfer per
     # executor, BitTorrent-style chunks) instead of a UDF closure, which
@@ -245,7 +257,9 @@ def filter_unseen(
     with_flag = candidates.withColumn("_maybe_seen", maybe_seen(F.xxhash64(key)))
     definite_new = with_flag.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = with_flag.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    confirmed_new = anti_join_scan(needs_check, seen, key)
+    confirmed_new = anti_join_scan(
+        needs_check, seen, key, left_unique=candidates_unique
+    )
     return definite_new.unionByName(confirmed_new)
 
 

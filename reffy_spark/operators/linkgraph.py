@@ -99,8 +99,16 @@ def pagerank(
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
     # out-degree rides the edge list so the per-iteration join is a
-    # single probe (edges+deg are loop-invariant — compute once)
-    ed = edges.join(deg, "src")
+    # single probe. ``ed`` is the loop invariant: persist it (r8) —
+    # without the cache every iteration re-ran the deg aggregation and
+    # the edges⋈deg join from the edges cache (3× recompute at n_iter=3),
+    # and the cached join output keeps its hash(src) partitioning, so
+    # each iteration's join exchanges ONLY the slim rank table
+    # (guide §2.4: two operations keyed the same way share one exchange;
+    # the documented 10^10-edge shape — edge table partitioned by src
+    # once, the rank table is the only moving side).
+    ed = edges.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    _pr_caches.append(ed)
     for _ in range(n_iter):
         contrib = (
             ed.join(ranks.withColumnRenamed("url", "src"), "src")
@@ -120,7 +128,14 @@ def pagerank(
             (F.lit(base) + F.coalesce(F.col("_s"), F.lit(0)))
             .cast("long")
             .alias("rank_fp"),
-        )
+        # truncate lineage at the BSP iteration boundary (r8; same
+        # pattern as dedupe.connected_components): without it the
+        # n_iter-deep nested plan re-optimizes and schedules every prior
+        # iteration's exchanges inside one enormous DAG (80 Exchange
+        # nodes at n_iter=3) — at 10^10 edges that plan would not even
+        # optimize in reasonable time. The checkpointed table is the
+        # slim (url, rank_fp) pair, never the edges.
+        ).localCheckpoint(eager=True)
     indeg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
     return (
         nodes.join(deg.withColumnRenamed("src", "url"), "url", "left")

@@ -51,7 +51,7 @@ def cosine_topk(
     One scan + a global top-k (Spark's orderBy+limit = partial top-k per
     partition then merge — no full sort shuffle).
     """
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     return (
         emb.select(
             F.col(id_col).alias("vec_id"),
@@ -75,10 +75,29 @@ def pairwise_topk_join(
     reference set" case). At scale, pre-bucket both sides with lsh_buckets
     and join on bucket before ranking.
     """
-    a = emb_a.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = emb_b.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from reffy_spark.operators.dedupe import spread_small_input
+
+    # Norms are per-vector, so evaluate them BELOW the join (once per row
+    # instead of once per pair — the joins are projection barriers, and
+    # the product norm_a*norm_b keeps the exact operand order of
+    # ``cosine_col``); spread the probe side so a one-split local scan
+    # does not serialize the O(|A|·|B|) pair work onto one task
+    # (guide §1.2 / §2.5; no-op at scale where scans are already split).
+    a = spread_small_input(emb_a).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        norm_col(F.col(vec_col)).alias("_na"),
+    )
+    b = emb_b.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        norm_col(F.col(vec_col)).alias("_nb"),
+    )
     pairs = a.join(F.broadcast(b)).withColumn(
-        "cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+        "cosine",
+        F.round(
+            dot_col(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+        ),
     )
     w = Window.partitionBy("id_a").orderBy(F.col("cosine").desc(), F.col("id_b"))
     return (
@@ -95,10 +114,17 @@ def pairwise_topk_join(
 
 def _plane_component(p: int, i: int) -> Column:
     """Deterministic pseudo-random plane component in [-1, 1): derived
-    from md5 of (plane, index) — identical across engines and runs."""
-    return (h60(F.lit(f"plane-{p}-{i}")) % F.lit(2_000_001)).cast("double") / F.lit(
-        1_000_000.0
-    ) - F.lit(1.0)
+    from md5 of (plane, index) — identical across engines and runs.
+
+    Emitted as a plain literal computed by the Python twin (bit-identical
+    doubles — same md5-derived integer, same IEEE divide/subtract, which
+    is exactly what Catalyst's ConstantFolding produced from the old
+    expression form): building the folded-anyway md5 chain through py4j
+    cost ~6 driver round-trips per component — ~2,300 per 6-plane×64-dim
+    bucket expression, measured 3-4 s of pure DataFrame CONSTRUCTION
+    time per ANN query (r8; guide §1.1 — the time was driver-side, not
+    in any Spark job)."""
+    return F.lit(_plane_component_py(p, i))
 
 
 def _plane_component_py(p: int, i: int) -> float:
@@ -146,10 +172,14 @@ def probe_buckets(query_vec, n_planes: int = 8, hamming: int = 0) -> list[int]:
 
 
 def lsh_bucket_col(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Sign-concatenation bucket id over n deterministic hyperplanes."""
+    """Sign-concatenation bucket id over n deterministic hyperplanes.
+
+    Each plane is ONE array literal (components precomputed by the
+    bit-identical Python twin — see ``_plane_component``), not dim
+    py4j-built expressions: plan-construction cost, not plan semantics."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[_plane_component(p, i) for i in range(dim)])
+        plane = F.lit([_plane_component_py(p, i) for i in range(dim)])
         d = dot_col(vec, plane)
         bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
@@ -162,7 +192,12 @@ def lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    return emb.select(
+    from reffy_spark.operators.dedupe import spread_small_input
+
+    # spread: the n_planes×dim interpreted dot folds are the cost of this
+    # operator; a one-split local scan would run them all on one task
+    # (plan-time decision, no-op at scale — guide §1.2)
+    return spread_small_input(emb).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("embedding"),
         lsh_bucket_col(F.col(vec_col), dim, n_planes).alias("bucket"),
@@ -196,7 +231,7 @@ def ann_topk_lsh(
     (1 of 256 buckets / 9 of 256); real clustered embeddings do better.
     """
     b = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     probes = probe_buckets(query_vec, n_planes, hamming)
     return (
         b.filter(F.col("bucket").isin(probes))
@@ -291,8 +326,15 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate vectors (cosine ≥ threshold), LSH-bucketed candidate
-    generation + exact verification inside buckets."""
-    b = lsh_buckets(emb, dim, n_planes, id_col, vec_col)
+    generation + exact verification inside buckets.
+
+    The buckets table is checkpointed: the self-join consumes it twice,
+    and without the barrier both sides re-run the n_planes×dim bucket
+    fold over the corpus (guide §2.4 — at scale this is the bucketed
+    index table you would persist anyway)."""
+    b = lsh_buckets(emb, dim, n_planes, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     a = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
     c = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
     return (
@@ -515,7 +557,7 @@ def ann_topk_ivf(
         key=lambda t: (-t[1], t[0]),
     )
     probes = [cid for cid, _ in ranked[:nprobe]]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = F.lit([float(x) for x in query_vec])
     asg = ivf_assignments(emb, cents, id_col, vec_col)
     return (
         asg.filter(F.col("centroid_id").isin(probes))
