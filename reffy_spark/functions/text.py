@@ -89,9 +89,17 @@ def token_count_col(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
-def stopword_count_col(text: Column, stopwords: list[str]) -> Column:
+def stopword_count_from_tokens(toks: Column, stopwords: list[str]) -> Column:
+    """Stopword occurrences over an ALREADY-COMPUTED token array — the
+    shared-tokenize building block for multi-kernel profiles (r8): a
+    profile that calls the text-based kernels independently re-runs the
+    split+filter tokenization once per kernel."""
     arr = F.array(*[F.lit(w) for w in stopwords])
-    return F.size(F.filter(tokens_col(text), lambda t: F.array_contains(arr, t)))
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def stopword_count_col(text: Column, stopwords: list[str]) -> Column:
+    return stopword_count_from_tokens(tokens_col(text), stopwords)
 
 
 def stopword_ratio_col(text: Column, stopwords: list[str]) -> Column:
@@ -144,17 +152,22 @@ def token_code_col(tok: Column) -> Column:
     return (F.ascii(tok) * F.lit(256) + F.least(F.length(tok), F.lit(255))).cast("long")
 
 
-def fingerprint_col(text: Column) -> Column:
-    """Order-sensitive rolling-hash document fingerprint.
-
-    acc = (acc * 131 + code(token)) mod 1e9+7, over whitespace tokens.
-    """
-    codes = F.transform(tokens_col(text), token_code_col)
+def fingerprint_from_tokens(toks: Column) -> Column:
+    """Rolling-hash fingerprint over an already-computed token array."""
+    codes = F.transform(toks, token_code_col)
     return F.aggregate(
         codes,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * F.lit(FP_MULT) + x) % F.lit(FP_MOD),
     )
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Order-sensitive rolling-hash document fingerprint.
+
+    acc = (acc * 131 + code(token)) mod 1e9+7, over whitespace tokens.
+    """
+    return fingerprint_from_tokens(tokens_col(text))
 
 
 # ---------------------------------------------------------------------------

@@ -116,9 +116,22 @@ def repetition_profile(
 
     docs = spread_small_input(docs)
     t = F.col(text_col)
-    toks = tokens_col(t)
-    n_tok = token_count_col(t).cast("double")
-    lines = lines_col(t)
+    # two-level projection (r8): tokenize and line-split ONCE per row per
+    # consuming branch — the single-select form re-ran lines_col for
+    # every line-derived flag and tokens_col for every n-gram column
+    # (interpreted higher-order expressions are not subexpression-
+    # eliminated; guide §1.2). Values are identical arithmetic over the
+    # same intermediates.
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_text"),
+        tokens_col(t).alias("_toks"),
+        lines_col(t).alias("_lines"),
+    )
+    toks = F.col("_toks")
+    lines = F.col("_lines")
+    tt = F.col("_text")
+    n_tok = F.size(toks).cast("double")
 
     # branch 1: zero-shuffle array-side flags
     n_lines_arr = F.size(lines).cast("double")
@@ -126,8 +139,8 @@ def repetition_profile(
         F.when(n_lines_arr == 0, F.lit(0.0)).otherwise(num.cast("double") / n_lines_arr), 6
     )
     bullets = F.array(*[F.lit(b) for b in _BULLETS])
-    flags = docs.select(
-        F.col(id_col).alias("doc_id"),
+    flags = base.select(
+        "doc_id",
         frac(
             F.size(
                 F.filter(
@@ -142,7 +155,7 @@ def repetition_profile(
         F.round(
             F.when(n_tok == 0, F.lit(0.0)).otherwise(
                 (
-                    _occurrences(t, "#") + _occurrences(t, "…") + _occurrences(t, "...")
+                    _occurrences(tt, "#") + _occurrences(tt, "…") + _occurrences(tt, "...")
                 ).cast("double")
                 / n_tok
             ),
@@ -162,8 +175,8 @@ def repetition_profile(
             lambda g: F.struct(F.lit("g5").alias("kind"), g.alias("item")),
         ),
     )
-    exploded = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(items).alias("it")
+    exploded = base.select(
+        "doc_id", F.explode(items).alias("it")
     ).select("doc_id", F.col("it.kind").alias("kind"), F.col("it.item").alias("item"))
     counted = exploded.groupBy("doc_id", "kind", "item").agg(F.count("*").alias("cnt"))
     chars = F.col("cnt") * F.length("item")

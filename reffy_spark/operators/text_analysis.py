@@ -24,23 +24,68 @@ from reffy_spark.functions.text import (
 def profile_documents(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Per-document analysis profile (single pass over the text column)."""
+    """Per-document analysis profile (single pass over the text column).
+
+    r8 shape: three-level projection. The lower Project materializes the
+    token array once; the middle one folds it into the scalar counts
+    (sizes, stopword votes, fingerprint); the top computes the derived
+    ratios. CollapseProject keeps the split (the array/count expressions
+    are non-cheap and multiply-referenced), so the regex tokenization
+    runs ONCE per row where the kernel-per-column form re-ran it ~9×
+    (guide §1.2 per-task work). Values are bit-identical: every derived
+    expression is the same arithmetic over the same intermediates.
+    """
+    from reffy_spark.functions.text import (
+        fingerprint_from_tokens,
+        stopword_count_from_tokens,
+        tokens_col,
+        STOPWORDS_DE,
+        STOPWORDS_FR,
+    )
+
     t = F.col(text_col)
-    n_tok = token_count_col(t)
-    return docs.select(
+    lower = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.length(t).alias("_len"),
+        tokens_col(t).alias("_t"),
+    )
+    mid = lower.select(
+        "doc_id",
+        "_len",
+        F.size("_t").alias("_n"),
+        stopword_count_from_tokens(F.col("_t"), STOPWORDS_EN).alias("_sw_en"),
+        stopword_count_from_tokens(F.col("_t"), STOPWORDS_FR).alias("_sw_fr"),
+        stopword_count_from_tokens(F.col("_t"), STOPWORDS_DE).alias("_sw_de"),
+        fingerprint_from_tokens(F.col("_t")).alias("fingerprint"),
+    )
+    n_tok = F.col("_n")
+    mean_tok = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("_len").cast("double") / n_tok.cast("double")
+    )
+    sw_ratio = F.when(n_tok == 0, F.lit(0.0)).otherwise(
+        F.col("_sw_en").cast("double") / n_tok.cast("double")
+    )
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    tok_ok = F.when(
+        (mean_tok >= 2.0) & (mean_tok <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    sw_ok = F.when(sw_ratio >= 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    en, fr, de = F.col("_sw_en"), F.col("_sw_fr"), F.col("_sw_de")
+    return mid.select(
+        "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        F.length(t).cast("long").alias("n_chars"),
-        F.round(
-            F.when(n_tok == 0, F.lit(0.0)).otherwise(
-                F.length(t).cast("double") / n_tok.cast("double")
-            ),
-            6,
-        ).alias("mean_token_len"),
-        F.round(stopword_ratio_col(t, STOPWORDS_EN), 6).alias("stopword_ratio"),
-        quality_score_col(t).alias("quality"),
-        lang_id_col(t).alias("lang_pred"),
-        fingerprint_col(t).alias("fingerprint"),
+        F.col("_len").cast("long").alias("n_chars"),
+        F.round(mean_tok, 6).alias("mean_token_len"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round((len_ok + tok_ok + sw_ok) / F.lit(3.0), 6).alias("quality"),
+        F.when((en >= fr) & (en >= de) & (en > 0), F.lit("en"))
+        .when((fr >= de) & (fr > 0), F.lit("fr"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        "fingerprint",
     )
 
 
@@ -67,10 +112,17 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     from reffy_spark.functions.text import bpe_token_count_col
 
     t = F.col(text_col)
-    ws = token_count_col(t).cast("long")
-    bpe = bpe_token_count_col(t)
-    return docs.select(
+    # two-level projection: each counting regex runs once per row (the
+    # single-select form re-evaluated them per referencing column)
+    lower = docs.select(
         F.col(id_col).alias("doc_id"),
+        F.length(t).alias("_len"),
+        token_count_col(t).cast("long").alias("_ws"),
+        bpe_token_count_col(t).alias("_bpe"),
+    )
+    ws, bpe = F.col("_ws"), F.col("_bpe")
+    return lower.select(
+        "doc_id",
         ws.alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
         F.round(
@@ -81,7 +133,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         ).alias("bpe_per_ws"),
         F.round(
             F.when(bpe == 0, F.lit(0.0)).otherwise(
-                F.length(t).cast("double") / bpe.cast("double")
+                F.col("_len").cast("double") / bpe.cast("double")
             ),
             6,
         ).alias("chars_per_bpe"),

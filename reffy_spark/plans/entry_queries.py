@@ -626,15 +626,13 @@ ORACLE_TEXT_PROFILE = f"""
 
 
 def q_lang_rollup(spark, sf_dir):
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        lang_id_col(F.col("text")).alias("lang_pred"),
-        quality_score_col(F.col("text")).alias("q"),
-        fingerprint_col(F.col("text")).alias("fp"),
-    ).groupBy("lang_pred").agg(
+    # r8: derive from the shared-tokenize profile (identical per-row
+    # values; the three independent kernels re-tokenized per column)
+    p = TA.profile_documents(load(spark, sf_dir, "documents"))
+    return p.groupBy("lang_pred").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("q"), 4).alias("avg_quality"),
-        F.countDistinct("fp").alias("n_distinct_fingerprints"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.countDistinct("fingerprint").alias("n_distinct_fingerprints"),
     )
 
 
