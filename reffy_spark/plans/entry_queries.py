@@ -1378,37 +1378,37 @@ ORACLES.update(EXT_ORACLES)
 # RUN_FULL_ORACLES=1) MUST run in the same verification gate as the
 # driver sample whenever this list changes.
 _SAMPLE_FIRST = [
-    # --- round-7 window: the 49 queries OUTSIDE round 6's window + the
-    # flagship. Union(r6 sample, this sample) = the whole 99-query
-    # registry, as in r5→r6. This round's changed queries land in the
-    # window almost entirely by construction (extract_dfns htmlProse,
-    # the PQ-family transform refactor, the temporal localCheckpoint
-    # twins, seed_filters, both cssmerge rows, new ann_topk_batch);
-    # the r6-sampled changed rows (urlseen_cuckoo/cuckoo_table, the
-    # trained-PQ pair) are guarded by the full-registry check this
-    # round and rotate back next round.
-    # --- new in round 7 (never driver-sampled) --------------------------
-    "ann_topk_batch",
+    # --- round-8 window: the 49 queries OUTSIDE round 7's window + the
+    # flagship. Union(r7 sample, this sample) = the whole 99-query
+    # registry, as in r6→r7. Most of this optimization round's changed
+    # plans land in the window by construction (the dedupe/minhash
+    # restructure, two-level simhash/text kernels, single-pass
+    # links_long behind extract_links, the plane-literal ANN family,
+    # kNN norms-below-join); changed rows inside r7's window
+    # (repetition_profile, token_stats, fallback_reuse, pagerank,
+    # host_authority, ann_topk_batch) are guarded by the full-registry
+    # check this round and rotate back next round.
     # --- flagship: keep driver-checked every round ----------------------
     "crawl_replay",
-    # --- changed in round 7 ----------------------------------------------
-    "extract_dfns",  # + html_prose column
-    "seed_filters",  # long seed_idx
-    "asof_prior_signup", "asof_skewsafe", "sessionize_events",
-    "sessionize_skewsafe", "session_stats",  # localCheckpoint working sets
-    "pq_cells", "ann_topk_pq", "ann_topk_ivfadc",  # transform argmin
-    "cssmerge", "cssmerge_full",  # executor-side report assembly
-    # --- the rest of round 6's outside set -------------------------------
-    "extract_events", "extract_css", "patch_dfns", "idlnames_fragments",
-    "missing_dfns", "cache_info", "fetch_fallback", "trim_spaces",
-    "idlnames_dfns", "date_fallback", "css_hiccup", "generator_sniff",
-    "schema_violations", "fallback_reuse", "politeness_permits_stream",
-    "neardup_components", "dedup_canonical", "repetition_profile",
-    "decontaminate", "stratified_sample", "token_stats", "ivf_cells",
-    "ann_topk_ivf", "domain_cap", "idlparsed_ast", "line_dedup",
-    "pack_sequences", "pii_scan", "url_filter", "classifier_score",
-    "duplicate_spans", "bigram_novelty", "pagerank", "host_authority",
-    "doc_keywords", "budget_apportion",
+    # --- changed in round 8 (plan restructures, identical results) ------
+    "minhash_pairs", "ngram_jaccard", "simhash", "simhash_pairs",
+    "text_profile", "lang_rollup", "quality_filter",
+    "knn_brute", "cosine_topk", "ann_topk_lsh", "ann_topk_multiprobe",
+    "embedding_neardup",
+    "extract_links", "extract_headings",
+    "politeness_rank", "politeness_rank_replay",
+    "urlseen_antijoin", "urlseen_cuckoo", "url_canon",
+    # --- the rest of round 7's outside set -------------------------------
+    "cuckoo_table", "backrefs", "events_rollup",
+    "q1_pricing_summary", "q3_top_revenue", "q5_revenue_by_nation",
+    "dedup_exact", "events_consolidation", "series_latest",
+    "merge_crawls", "idl_members", "extract_ids", "extract_refs",
+    "extract_idl", "extract_cddl", "extract_elements",
+    "extract_algorithms", "spec_meta", "multipage_ids", "annotate_links",
+    "events_handlers", "mixin_expansion", "event_extensions", "idlnames",
+    "idl_dfn_hrefs", "interface_tree", "csscomplete",
+    "ann_topk_ivf_trained", "ann_topk_pq_trained",
+    "ann_topk_ivfadc_trained",
 ]
 
 
