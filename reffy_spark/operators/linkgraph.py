@@ -88,14 +88,41 @@ def pagerank(
     # lineage (measured ~7× recompute at sf0.1)
     edges = edges.select("src", "dst").persist(StorageLevel.MEMORY_AND_DISK)
     _pr_caches.append(edges)
-    deg = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
-    nodes = (
-        edges.select(F.col("src").alias("url"))
-        .union(edges.select(F.col("dst").alias("url")))
-        .distinct()
+    # nodes + out-degree + in-degree in ONE partial-aggregable pass (r8):
+    # the previous nodes-distinct / deg / indeg trio shuffled the edge
+    # list four times (union both sides + two keyed aggs) and needed two
+    # coalescing joins at the end. One tagged explode + sum gives the
+    # identical values (a url's out_degree is its count of src
+    # occurrences — absent ⇒ 0 via the sum, exactly the old
+    # coalesce(left-join)), and the cached degs table doubles as the
+    # nodes set for every iteration.
+    degs = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("src").alias("url"),
+                        F.lit(1).alias("o"),
+                        F.lit(0).alias("i"),
+                    ),
+                    F.struct(
+                        F.col("dst").alias("url"),
+                        F.lit(0).alias("o"),
+                        F.lit(1).alias("i"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.*")
+        .groupBy("url")
+        .agg(F.sum("o").alias("out_degree"), F.sum("i").alias("in_degree"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _pr_caches.append(nodes)
+    _pr_caches.append(degs)
+    deg = degs.filter(F.col("out_degree") > 0).select(
+        F.col("url").alias("src"), F.col("out_degree")
+    )
+    nodes = degs.select("url")
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.withColumn("rank_fp", F.lit(scale).cast("long"))
     # out-degree rides the edge list so the per-iteration join is a
@@ -136,21 +163,11 @@ def pagerank(
         # optimize in reasonable time. The checkpointed table is the
         # slim (url, rank_fp) pair, never the edges.
         ).localCheckpoint(eager=True)
-    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
-    return (
-        nodes.join(deg.withColumnRenamed("src", "url"), "url", "left")
-        .join(indeg.withColumnRenamed("dst", "url"), "url", "left")
-        .join(ranks, "url")
-        .select(
-            "url",
-            F.coalesce(F.col("out_degree"), F.lit(0)).cast("long").alias(
-                "out_degree"
-            ),
-            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long").alias(
-                "in_degree"
-            ),
-            "rank_fp",
-        )
+    return degs.join(ranks, "url").select(
+        "url",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("in_degree").cast("long").alias("in_degree"),
+        "rank_fp",
     )
 
 
