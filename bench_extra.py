@@ -5,7 +5,7 @@ Same session/warmup/methodology as the FROZEN bench.py (guide §1.4), but:
   * each query runs REPEATS times, min+median reported (bench.py runs 1×
     per process invocation; the driver medians 3 processes)
   * optional --queries filter to isolate one query fast
-  * optional --explain to dump .explain("formatted") per query
+  * optional --explain-dir DIR to dump .explain("formatted") per query
 
 This file is NOT part of the driver contract; its numbers feed
 OPTIMIZATION_r08.md only.

@@ -237,6 +237,7 @@ class CrawlEngine:
                 StorageLevel.MEMORY_AND_DISK
             )
             self._pages_cached = self.pages
+            self._pages_persistable = True
         self.broadcast_batch = broadcast_batch
         # Round-state durability: ``localCheckpoint`` blocks are NOT
         # fault-tolerant — on a multi-executor cluster one lost executor
@@ -347,6 +348,7 @@ class CrawlEngine:
     # ------------------------------------------------------------------
     def crawl(self, seeds: DataFrame, max_rounds: int = 10) -> CrawlResult:
         """Run the BSP loop from a seed list (url [, seed_idx])."""
+        self._ensure_pages_cached()
         if "seed_idx" not in seeds.columns:
             seeds = self._seed_index(seeds)
         frontier = FR.to_frontier(
@@ -382,12 +384,27 @@ class CrawlEngine:
             seen = frontier.select("url_canon", F.lit(0).alias("first_round"))
         return self._run_rounds(frontier, seen, start_round=1, max_rounds=max_rounds)
 
+    def _ensure_pages_cached(self) -> None:
+        """Re-persist the canonical pages table if a context-manager exit
+        dropped the cache — keeps the 'engine stays reusable after
+        close()' contract intact (r8 review)."""
+        if (
+            getattr(self, "_pages_persistable", False)
+            and self._pages_cached is None
+        ):
+            from pyspark.storagelevel import StorageLevel
+
+            self._pages_cached = self.pages.persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+
     def resume(self, max_rounds: int = 10) -> CrawlResult:
         """Resume from the latest checkpointed round (mirrors --fallback /
         --use-crawl, specs-crawler.js:54-65,100-102). Prior rounds'
         results are re-read from their checkpoints."""
         if not self.checkpoint_dir:
             raise ValueError("resume requires a checkpoint_dir")
+        self._ensure_pages_cached()
         rounds = self._checkpointed_rounds()
         last = rounds[-1]
         frontier = self.spark.read.parquet(
@@ -989,11 +1006,16 @@ class CrawlEngine:
         (frontier/seen/results) stays parquet-committed: that is the
         lineage-truncation boundary that keeps multi-round plans flat.
         """
-        if self.checkpoint_dir:
+        if self.checkpoint_dir and durable:
             path = os.path.join(self.checkpoint_dir, f"round={rnd}", name)
             df.write.mode("overwrite").parquet(path)
             return self.spark.read.parquet(path)
-        if self.reliable_state:
+        if self.reliable_state or self.checkpoint_dir:
+            # within-round working sets are cached, never checkpoint
+            # files: a checkpointed crawl's resume contract reads only
+            # the durable tables (frontier/seen/results), and the
+            # durable-commit disk round-trip is pure overhead for state
+            # with no cross-round consumer (r8 review)
             if durable:
                 path = os.path.join(self._ensure_state_dir(), f"round={rnd}", name)
                 df.write.mode("overwrite").parquet(path)

@@ -19,11 +19,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from reffy_spark.extractors.base import extract_all
-from reffy_spark.functions.text import (
-    fingerprint_col,
-    lang_id_col,
-    quality_score_col,
-)
 from reffy_spark.functions.urls import host_group_col, url_canon_col
 from reffy_spark.operators import dedupe as D
 from reffy_spark.operators import frontier as FR
