@@ -303,8 +303,24 @@ class CrawlEngine:
         not by data. Assignment matches
         ``row_number().over(Window.orderBy("url")) - 1`` (duplicate urls,
         if any, get arbitrary-but-distinct indices in both forms; the
-        frontier dedups them immediately after)."""
+        frontier dedups them immediately after).
+
+        Size routing (r8, same precedent as ``frontier.anti_join_scan``):
+        a seed list Catalyst can ESTIMATE as small takes the direct
+        global window — bit-identical, one exchange instead of the
+        two-phase machinery's four stages; unknown or large estimates
+        keep the scale shape (an unknown seed list may be the 1M-URL
+        case)."""
         from pyspark.storagelevel import StorageLevel
+
+        from reffy_spark.plan_stats import estimated_bytes
+
+        est = estimated_bytes(seeds)
+        if est is not None and est < 64 * 1024 * 1024:
+            w = Window.orderBy("url")
+            return seeds.withColumn(
+                "seed_idx", (F.row_number().over(w) - 1).cast("long")
+            )
 
         num_parts = int(
             self.spark.conf.get("spark.sql.shuffle.partitions", "200")
